@@ -1,0 +1,167 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from canonicalvoting_tpu.ops.hough_voting import HoughVoting, hough_voting
+from tests.reference_impls import hv_backward_numpy, hv_forward_numpy
+
+
+def _random_scene(rng, n=40):
+    points = rng.uniform(0, 1.0, (n, 3)).astype(np.float32)
+    xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    scale = rng.uniform(0.1, 0.4, (n, 3)).astype(np.float32)
+    obj = rng.uniform(0, 1, (n,)).astype(np.float32)
+    return points, xyz, scale, obj
+
+
+@pytest.mark.parametrize("num_rots", [8, 120])
+def test_forward_matches_reference(rng, num_rots):
+    points, xyz, scale, obj = _random_scene(rng)
+    res = 0.05
+    ref_obj, ref_rot, ref_scale = hv_forward_numpy(
+        points, xyz, scale, obj, res, num_rots
+    )
+    hv = HoughVoting(res=res, num_rots=num_rots)
+    got_obj, got_rot, got_scale = hv(points, xyz, scale, obj)
+    got_obj, got_rot, got_scale = map(np.asarray, (got_obj, got_rot, got_scale))
+    assert got_obj.shape == ref_obj.shape
+    np.testing.assert_allclose(got_obj, ref_obj, atol=2e-4)
+    # normalized channels divide by grid_obj + 1e-7: near-empty cells amplify
+    # float32 rounding, so compare with a slightly looser tolerance
+    np.testing.assert_allclose(got_rot, ref_rot, atol=2e-3)
+    np.testing.assert_allclose(got_scale, ref_scale, atol=2e-3)
+
+
+def test_forward_padded_grid_matches(rng):
+    """Votes into a padded static grid match the exact-size grid."""
+    points, xyz, scale, obj = _random_scene(rng)
+    res = 0.05
+    ref_obj, _, _ = hv_forward_numpy(points, xyz, scale, obj, res, 16)
+    gx, gy, gz = ref_obj.shape
+    pad_shape = (gx + 13, gy + 5, gz + 9)
+    got_obj, _, _ = hough_voting(
+        jnp.asarray(points), jnp.asarray(xyz), jnp.asarray(scale),
+        jnp.asarray(obj), res=res, num_rots=16, grid_shape=pad_shape,
+    )
+    got_obj = np.asarray(got_obj)
+    np.testing.assert_allclose(got_obj[:gx, :gy, :gz], ref_obj, atol=2e-4)
+    assert np.all(got_obj[gx:] == 0)
+    assert np.all(got_obj[:, gy:] == 0)
+    assert np.all(got_obj[:, :, gz:] == 0)
+
+
+def test_explicit_corners_matches(rng):
+    """7-arg explicit-corners variant (sunrgbd/brnetcanon.py:96-117)."""
+    points, xyz, scale, obj = _random_scene(rng)
+    res = 0.05
+    corners = np.stack([points.min(0) - 0.1, points.max(0) + 0.1]).astype(np.float32)
+    ref_obj, ref_rot, _ = hv_forward_numpy(
+        points, xyz, scale, obj, res, 12, corners=corners
+    )
+    hv = HoughVoting(res=res, num_rots=12)
+    got_obj, got_rot, _ = hv(points, xyz, scale, obj, corners=corners)
+    np.testing.assert_allclose(np.asarray(got_obj), ref_obj, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_rot), ref_rot, atol=2e-3)
+
+
+def test_valid_mask_equals_dropping_rows(rng):
+    points, xyz, scale, obj = _random_scene(rng, n=30)
+    valid = (rng.uniform(size=30) > 0.3).astype(np.float32)
+    res = 0.05
+    kept = valid > 0
+    ref_obj, _, _ = hv_forward_numpy(
+        points[kept], xyz[kept], scale[kept], obj[kept], res, 12
+    )
+    gx, gy, gz = ref_obj.shape
+    got_obj, _, _ = hough_voting(
+        jnp.asarray(points), jnp.asarray(xyz), jnp.asarray(scale),
+        jnp.asarray(obj), res=res, num_rots=12, grid_shape=(gx, gy, gz),
+        valid=jnp.asarray(valid),
+    )
+    np.testing.assert_allclose(np.asarray(got_obj), ref_obj, atol=2e-4)
+
+
+def test_backward_matches_reference_kernel(rng):
+    """Custom VJP == the CUDA backward kernel's math (incl. its quirks:
+    grad only from grid_obj, no 1/res factor)."""
+    points, xyz, scale, obj = _random_scene(rng, n=12)
+    res = 0.08
+    num_rots = 6
+    ref_obj, _, _ = hv_forward_numpy(points, xyz, scale, obj, res, num_rots)
+    g = rng.uniform(-1, 1, ref_obj.shape).astype(np.float32)
+    d_xyz_ref, d_scale_ref, d_obj_ref = hv_backward_numpy(
+        g, points, xyz, scale, obj, res, num_rots
+    )
+
+    def f(xyz_, scale_, obj_):
+        go, _, _ = hough_voting(
+            jnp.asarray(points), xyz_, scale_, obj_,
+            res=res, num_rots=num_rots, grid_shape=ref_obj.shape,
+        )
+        return jnp.sum(go * jnp.asarray(g))
+
+    d_xyz, d_scale, d_obj = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(obj)
+    )
+    np.testing.assert_allclose(np.asarray(d_xyz), d_xyz_ref, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(d_scale), d_scale_ref, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(d_obj), d_obj_ref, atol=3e-4)
+
+
+def test_obj_grad_finite_difference(rng):
+    """d grid_obj / d obj is exact (splat is linear in obj)."""
+    points, xyz, scale, obj = _random_scene(rng, n=8)
+    res = 0.1
+    ref_obj, _, _ = hv_forward_numpy(points, xyz, scale, obj, res, 4)
+    g = rng.uniform(-1, 1, ref_obj.shape).astype(np.float32)
+
+    def f(obj_):
+        go, _, _ = hough_voting(
+            jnp.asarray(points), jnp.asarray(xyz), jnp.asarray(scale), obj_,
+            res=res, num_rots=4, grid_shape=ref_obj.shape,
+        )
+        return jnp.sum(go * jnp.asarray(g))
+
+    d_obj = np.asarray(jax.grad(f)(jnp.asarray(obj)))
+    eps = 1e-3
+    for i in range(4):
+        e = np.zeros_like(obj)
+        e[i] = eps
+        fd = (float(f(jnp.asarray(obj + e))) - float(f(jnp.asarray(obj - e)))) / (2 * eps)
+        np.testing.assert_allclose(d_obj[i], fd, rtol=1e-2, atol=1e-3)
+
+
+def test_rot_scale_grads_are_discarded(rng):
+    """Cotangents on grid_rot / grid_scale contribute nothing
+    (reference train_joint.py:31-37 discards them)."""
+    points, xyz, scale, obj = _random_scene(rng, n=8)
+    res = 0.1
+
+    def f(xyz_):
+        _, gr, gs = hough_voting(
+            jnp.asarray(points), xyz_, jnp.asarray(scale), jnp.asarray(obj),
+            res=res, num_rots=4, grid_shape=(16, 16, 16),
+        )
+        return jnp.sum(gr) + jnp.sum(gs)
+
+    d = np.asarray(jax.grad(f)(jnp.asarray(xyz)))
+    assert np.all(d == 0)
+
+
+def test_jit_and_vmap_compose(rng):
+    points, xyz, scale, obj = _random_scene(rng, n=16)
+    f = jax.jit(
+        lambda p, x, s, o: hough_voting(
+            p, x, s, o, res=0.1, num_rots=4, grid_shape=(16, 16, 16)
+        )[0]
+    )
+    single = f(points, xyz, scale, obj)
+    batched = jax.vmap(f)(
+        jnp.stack([points, points]),
+        jnp.stack([xyz, xyz]),
+        jnp.stack([scale, scale]),
+        jnp.stack([obj, obj]),
+    )
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single), atol=1e-5)
