@@ -3,12 +3,21 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the login environment exports JAX_PLATFORMS=axon (remote
+# TPU) and its sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, which takes precedence over the env var.
+# Tests must run on the local CPU backend with virtual devices, so update the
+# live config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
