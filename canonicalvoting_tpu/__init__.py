@@ -20,4 +20,42 @@ in 3D Scenes"), designed TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first-compiles of the big fused
+    detection graphs are minutes on the remote-compile path; the cache makes
+    every later process start instant. Opt out with CVT_NO_COMPILE_CACHE=1."""
+    try:
+        import jax
+
+        # Some environments install a site hook that calls
+        # jax.config.update("jax_platforms", ...) at interpreter start,
+        # which silently overrides the JAX_PLATFORMS env var. Re-assert the
+        # user's explicit choice.
+        env_platforms = _os.environ.get("JAX_PLATFORMS")
+        if env_platforms and jax.config.jax_platforms != env_platforms:
+            jax.config.update("jax_platforms", env_platforms)
+    except Exception:  # pragma: no cover
+        pass
+    if _os.environ.get("CVT_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "CVT_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from canonicalvoting_tpu.config import Config, load_config  # noqa: F401

@@ -1,0 +1,109 @@
+"""Batch collation: ragged scenes -> static-shape device batches.
+
+Replaces the reference collate_fns (train_joint.py:78-90,
+train_separate.py:78-96) and adds the TPU-required padding/bucketing: the
+batch's coordinate pyramid + neighbor tables are built here on the host
+(ops/coords.py) and label arrays are padded to the level-0 capacity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from canonicalvoting_tpu.data.geometry import NCLASSES
+from canonicalvoting_tpu.ops.coords import PyramidSpec, build_pyramid
+from canonicalvoting_tpu.ops.voxelize import batched_coordinates
+
+
+def _pad(arr: np.ndarray, cap: int, fill) -> np.ndarray:
+    out = np.full((cap,) + arr.shape[1:], fill, arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def collate_joint(items: Sequence, cap_multiple: int = 4096,
+                  feats_rescale: bool = True) -> Dict:
+    """items: (id_scan, coords, feats, xyz_labels, scale_labels, class_labels).
+
+    Returns a device-ready batch dict plus host metadata.
+    """
+    ids, coords, feats, xyz_l, scale_l, class_l = zip(*items)
+    bcoords = batched_coordinates(coords)
+    pyr = build_pyramid(bcoords, PyramidSpec(cap_multiple=cap_multiple))
+    cap0 = pyr.coords[0].shape[0]
+
+    feats_b = _pad(np.concatenate(feats, 0), cap0, 0.0).astype(np.float32)
+    if feats_rescale:
+        # rgb channels to [-1, 1] (train_joint.py:249)
+        feats_b[:, -3:] = feats_b[:, -3:] * 2.0 - 1.0
+    return {
+        "meta": {"ids": list(ids), "coords": pyr.coords[0]},
+        "feats": feats_b,
+        "pyramid": pyr.as_jax_inputs(),
+        "xyz_labels": _pad(np.concatenate(xyz_l, 0).astype(np.float32), cap0, 0.0),
+        "scale_labels": _pad(
+            np.concatenate(scale_l, 0).astype(np.float32), cap0, 1.0
+        ),
+        "class_labels": _pad(
+            np.concatenate(class_l, 0).astype(np.int32), cap0, NCLASSES
+        ),
+    }
+
+
+def collate_separate(items: Sequence, cap_multiple: int = 4096,
+                     max_objects: int = 64, feats_rescale: bool = True) -> Dict:
+    """items: (id_scan, coords, feats, base_xyz, scale_labels, obj_labels,
+    class_labels, obj_id, sym_codes). Object ids are offset per scene into a
+    batch-global id space for the segment-reduced symmetry loss."""
+    ids = [it[0] for it in items]
+    coords = [it[1] for it in items]
+    bcoords = batched_coordinates(coords)
+    pyr = build_pyramid(bcoords, PyramidSpec(cap_multiple=cap_multiple))
+    cap0 = pyr.coords[0].shape[0]
+
+    feats_b = _pad(
+        np.concatenate([it[2] for it in items], 0), cap0, 0.0
+    ).astype(np.float32)
+    if feats_rescale:
+        feats_b[:, -3:] = feats_b[:, -3:] * 2.0 - 1.0
+
+    obj_ids = []
+    sym_codes = []
+    offset = 0
+    for it in items:
+        oid = it[7].astype(np.int32).copy()
+        oid[oid >= 0] += offset
+        obj_ids.append(oid)
+        sym_codes.append(it[8])
+        offset += len(it[8])
+    num_objects = offset
+    sym = np.zeros((max_objects,), np.int32)
+    cat = np.concatenate(sym_codes) if sym_codes else np.zeros((0,), np.int32)
+    n_keep = min(len(cat), max_objects)
+    sym[:n_keep] = cat[:n_keep]
+    obj_id_b = _pad(np.concatenate(obj_ids, 0), cap0, -1)
+    # objects beyond capacity are dropped from the xyz loss (masked)
+    obj_id_b[obj_id_b >= max_objects] = -1
+
+    return {
+        "meta": {"ids": ids, "coords": pyr.coords[0]},
+        "feats": feats_b,
+        "pyramid": pyr.as_jax_inputs(),
+        "base_xyz": _pad(
+            np.concatenate([it[3] for it in items], 0).astype(np.float32), cap0, 0.0
+        ),
+        "scale_labels": _pad(
+            np.concatenate([it[4] for it in items], 0).astype(np.float32), cap0, 1.0
+        ),
+        "obj_labels": _pad(
+            np.concatenate([it[5] for it in items], 0).astype(np.int32), cap0, 0
+        ),
+        "class_labels": _pad(
+            np.concatenate([it[6] for it in items], 0).astype(np.int32), cap0, 0
+        ),
+        "obj_id": obj_id_b,
+        "sym_code": sym,
+        "num_objects": np.int32(min(num_objects, max_objects)),
+    }

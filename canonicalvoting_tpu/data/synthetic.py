@@ -1,0 +1,115 @@
+"""Synthetic scene generator for tests and benchmarks.
+
+Generates room-like point clouds with planted oriented boxes and the exact
+per-point label semantics of the ScanNet pipeline (LCC / scale / class), so
+the full detection stack can be exercised without the (license-gated) ScanNet
+data. Used by tests/, bench.py and the smoke-train CLIs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from canonicalvoting_tpu.data.geometry import NCLASSES, rotmat_y
+
+
+@dataclass
+class SyntheticBox:
+    center: np.ndarray
+    scale: np.ndarray  # half-extents (matches Scan2CAD label convention)
+    yaw: float
+    class_idx: int
+
+
+@dataclass
+class SyntheticScene:
+    points: np.ndarray          # (N, 3) world
+    rgb: np.ndarray             # (N, 3) in [0, 1]
+    xyz_labels: np.ndarray      # (N, 3) LCC
+    scale_labels: np.ndarray    # (N, 3)
+    class_labels: np.ndarray    # (N,) int32, NCLASSES = background
+    boxes: List[SyntheticBox] = field(default_factory=list)
+
+    def gt_corners(self) -> List[Tuple[int, np.ndarray]]:
+        from canonicalvoting_tpu.data.geometry import unit_box_corners
+
+        out = []
+        for b in self.boxes:
+            c = (rotmat_y(b.yaw) @ np.diag(b.scale) @ unit_box_corners().T).T
+            out.append((b.class_idx, c + b.center))
+        return out
+
+
+def make_scene(
+    rng: np.random.RandomState,
+    extent=(6.0, 2.5, 7.0),
+    n_background: int = 40000,
+    n_boxes: int = 4,
+    pts_per_box: int = 3000,
+    scale_range=(0.3, 0.7),
+) -> SyntheticScene:
+    ex = np.asarray(extent, np.float32)
+    pts = [rng.uniform([0, 0, 0], ex, (n_background, 3)).astype(np.float32)]
+    boxes = []
+    for i in range(n_boxes):
+        scale = rng.uniform(*scale_range, 3).astype(np.float32)
+        # rejection-sample a center that keeps boxes disjoint
+        for _ in range(100):
+            center = rng.uniform(ex * 0.15, ex * 0.85).astype(np.float32)
+            center[1] = min(center[1], scale[1] + 0.2)
+            r = float(np.linalg.norm(scale)) + 0.2
+            ok = all(
+                np.linalg.norm(center - b.center)
+                > r + float(np.linalg.norm(b.scale))
+                for b in boxes
+            )
+            if ok:
+                break
+        yaw = float(rng.uniform(-np.pi, np.pi))
+        lcc = rng.uniform(-0.95, 0.95, (pts_per_box, 3)).astype(np.float32)
+        world = (rotmat_y(yaw) @ (lcc * scale).T).T + center
+        pts.append(world.astype(np.float32))
+        boxes.append(SyntheticBox(center, scale, yaw, i % NCLASSES))
+
+    points = np.concatenate(pts, 0)
+    xyz = np.zeros_like(points)
+    scl = np.full_like(points, 0.25)
+    cls = np.full((len(points),), NCLASSES, np.int32)
+    for b in boxes:
+        R = rotmat_y(b.yaw)
+        inv = ((points - b.center) @ R) / b.scale
+        inside = np.all(np.abs(inv) < 1.0, axis=-1)
+        xyz[inside] = inv[inside]
+        scl[inside] = b.scale
+        cls[inside] = b.class_idx
+    rgb = rng.uniform(0, 1, points.shape).astype(np.float32)
+    return SyntheticScene(
+        points=points.astype(np.float32),
+        rgb=rgb,
+        xyz_labels=xyz.astype(np.float32),
+        scale_labels=scl.astype(np.float32),
+        class_labels=cls,
+        boxes=boxes,
+    )
+
+
+def perfect_predictions(scene: SyntheticScene, points_w: np.ndarray,
+                        base_prob: float = 0.02, obj_prob: float = 0.95):
+    """Ideal model outputs at given (quantized) world points — lets the vote +
+    peel + NMS + mAP stages be tested in isolation from the backbone."""
+    xyz = np.zeros_like(points_w)
+    scl = np.full_like(points_w, 0.25)
+    prob = np.full((len(points_w),), base_prob, np.float32)
+    cls = np.zeros((len(points_w),), np.int32)
+    for b in scene.boxes:
+        R = rotmat_y(b.yaw)
+        inv = ((points_w - b.center) @ R) / b.scale
+        inside = np.all(np.abs(inv) < 1.0, axis=-1)
+        xyz[inside] = inv[inside]
+        scl[inside] = b.scale
+        prob[inside] = obj_prob
+        cls[inside] = b.class_idx
+    return (xyz.astype(np.float32), scl.astype(np.float32), prob, cls)

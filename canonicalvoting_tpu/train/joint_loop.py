@@ -1,0 +1,147 @@
+"""Joint training driver (reference train_joint.py:191-473).
+
+Epoch loop with the reference's schedules (step LR decay, BN-momentum
+decay), checkpointing every 10 epochs, and a full detection + mAP validation
+pass every 10 epochs. Ground truth comes either from results_gt txt files
+(ScanNet) or from a callback (synthetic smoke runs).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from canonicalvoting_tpu.config import Config
+from canonicalvoting_tpu.data.collate import collate_joint
+from canonicalvoting_tpu.data.geometry import NCLASSES
+from canonicalvoting_tpu.data.loader import DataLoader
+from canonicalvoting_tpu.decode.peeling import PeelConfig
+from canonicalvoting_tpu.eval.gt import load_gt_scene
+from canonicalvoting_tpu.eval.pipeline import DetectionPipeline
+from canonicalvoting_tpu.metrics.ap import compute_map
+from canonicalvoting_tpu.models import MinkUNet34C
+from canonicalvoting_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from canonicalvoting_tpu.train.schedules import bn_momentum_for_epoch, lr_for_epoch
+from canonicalvoting_tpu.train.steps import (
+    create_train_state,
+    make_joint_train_step,
+    make_optimizer,
+)
+from canonicalvoting_tpu.utils.meters import AverageMeter
+
+logger = logging.getLogger(__name__)
+
+
+def run_joint_training(
+    cfg: Config,
+    train_dataset,
+    val_dataset,
+    workdir: str = ".",
+    gt_lookup: Optional[Callable] = None,
+    eval_every: int = 10,
+    max_epoch: Optional[int] = None,
+    cap_multiple: Optional[int] = None,
+):
+    """Train the joint model; returns (state, last mAP dict or None)."""
+    os.makedirs(workdir, exist_ok=True)
+    cap_multiple = cap_multiple or cfg.tpu.point_buckets[0]
+    max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
+
+    model = MinkUNet34C(cfg.in_channels, 6 * NCLASSES + NCLASSES + 1,
+                        compute_dtype=cfg.tpu.conv_dtype)
+    optimizer = make_optimizer(cfg.weight_decay)
+
+    def make_loader(ds, batch_size, shuffle, drop_last):
+        return DataLoader(
+            ds, batch_size=batch_size,
+            collate_fn=lambda items: collate_joint(items, cap_multiple),
+            shuffle=shuffle, num_workers=cfg.num_workers, drop_last=drop_last,
+        )
+
+    train_loader = make_loader(train_dataset, cfg.batch_size, True, True)
+    val_loader = make_loader(val_dataset, 1, False, False)
+
+    # init from the first batch's shapes
+    first = next(iter(train_loader))
+    state = create_train_state(model, optimizer, first["feats"], first["pyramid"])
+    step_fn = make_joint_train_step(model, optimizer, cfg)
+
+    start_epoch = cfg.start_epoch
+    ckpt = latest_checkpoint(workdir)
+    if ckpt is not None:
+        state, saved_epoch = restore_checkpoint(ckpt, state)
+        start_epoch = saved_epoch + 1
+        logger.info("resumed from %s (epoch %d)", ckpt, saved_epoch)
+
+    meter = AverageMeter()
+    ret = None
+    for epoch in range(start_epoch, max_epoch + 1):
+        lr = jnp.float32(lr_for_epoch(
+            epoch, cfg.opt.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rates
+        ))
+        mom = jnp.float32(bn_momentum_for_epoch(
+            epoch, cfg.opt.bn_decay_step, cfg.opt.bn_decay_rate
+        ))
+        meter.reset()
+        t0 = time.time()
+        for batch in train_loader:
+            state, losses = step_fn(state, batch, lr, mom)
+            meter.update(float(losses["loss"]))
+        logger.info(
+            "epoch %d: loss=%.4f (%.1fs, lr=%.2e, bn_mom=%.3f)",
+            epoch, meter.avg, time.time() - t0, float(lr), float(mom),
+        )
+
+        if epoch % eval_every == 0:
+            save_checkpoint(
+                os.path.join(workdir, f"epoch{epoch}.ckpt"), state, epoch
+            )
+            ret = run_joint_validation(cfg, model, state, val_loader, gt_lookup)
+    return state, ret
+
+
+def run_joint_validation(cfg, model, state, val_loader, gt_lookup):
+    """Detection + Scan2CAD mAP over the validation split
+    (reference train_joint.py:293-473)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pipe = DetectionPipeline(
+        model=model, variables=variables, res=cfg.scannet_res,
+        num_rots=120, log_scale=cfg.log_scale, use_xyz=cfg.use_xyz,
+        peel=PeelConfig(res=cfg.scannet_res, max_boxes=cfg.tpu.max_boxes),
+        cap_multiple=cfg.tpu.point_buckets[0],
+    )
+    pred_map_cls = {}
+    gt_map_cls = {}
+    for batch in val_loader:
+        id_scan = batch["meta"]["ids"][0]
+        coords_w = batch["meta"]["coords"][:, 1:].astype(np.float32) * cfg.scannet_res
+        nv = int(batch["pyramid"]["nvalid"][0])
+        dims = (
+            (coords_w[:nv].max(0) - coords_w[:nv].min(0)) / cfg.scannet_res
+        ).astype(np.int32) + 1
+        from canonicalvoting_tpu.ops.hough_voting import round_grid_shape
+
+        gshape = round_grid_shape(dims, pipe.grid_multiple)
+        out = pipe.run_scene(batch["feats"], batch["pyramid"], coords_w, gshape)
+        pred_map_cls[id_scan] = pipe.postprocess(out)
+        if gt_lookup is not None:
+            gt_map_cls[id_scan] = gt_lookup(id_scan)
+        else:
+            gt_map_cls[id_scan] = load_gt_scene(cfg.data.gt_path, id_scan)
+
+    results = {}
+    for thresh in (0.25, 0.5):
+        d = compute_map(pred_map_cls, gt_map_cls, ovthresh=thresh)
+        logger.info("IoU %.2f: mAP=%.4f AR=%.4f", thresh, d["mAP"], d["AR"])
+        results[thresh] = d
+    return results

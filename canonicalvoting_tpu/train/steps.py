@@ -1,0 +1,147 @@
+"""Jitted train / eval steps.
+
+The optimizer is Adam with an injected learning rate so the reference's
+step-decay schedule (train_joint.py:128-138) can be driven from the host
+without recompiling; the BN momentum schedule rides along as a step input
+(train_joint.py:224-225).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from canonicalvoting_tpu.train.losses import joint_losses, separate_losses
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(weight_decay: float = 0.0):
+    """Adam (+ optional decoupled weight decay) with injectable lr
+    (reference train_joint.py:219-223)."""
+    if weight_decay:
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=1e-3, weight_decay=weight_decay
+        )
+    return optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+
+
+def init_variables(model, feats, pyramid, train: bool = True, seed: int = 0):
+    """Initialize model variables UNDER JIT.
+
+    Eager init dispatches hundreds of single ops; on remote-compile backends
+    each op pays a full round trip (observed: 25+ min for MinkUNet34C).
+    One jitted trace compiles once.
+    """
+    init_fn = jax.jit(
+        lambda rng, f, p: model.init(rng, f, p, train),
+    )
+    return init_fn(jax.random.PRNGKey(seed), feats, pyramid)
+
+
+def create_train_state(model, optimizer, feats, pyramid) -> TrainState:
+    variables = init_variables(model, feats, pyramid, train=True)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def set_lr(opt_state, lr):
+    """Update the injected learning rate in-place on the host."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def _strip_meta(batch: Dict) -> Dict:
+    return {k: v for k, v in batch.items() if k != "meta"}
+
+
+def make_joint_train_step(model, optimizer, cfg) -> Callable:
+    xyz_weights = tuple(cfg.xyz_weights)
+
+    @jax.jit
+    def _step(state: TrainState, batch: Dict, lr, bn_momentum):
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["feats"], batch["pyramid"], True, bn_momentum,
+                mutable=["batch_stats"],
+            )
+            losses = joint_losses(
+                out, batch["xyz_labels"], batch["scale_labels"],
+                batch["class_labels"], batch["pyramid"]["nvalid"][0],
+                xyz_weights, cfg.log_scale, cfg.xyz_factor, cfg.scale_factor,
+            )
+            return losses["loss"], (losses, updates["batch_stats"])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        upd, new_opt = optimizer.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        new_state = TrainState(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    def step(state, batch, lr, bn_momentum):
+        return _step(state, _strip_meta(batch), lr, bn_momentum)
+
+    return step
+
+
+def make_separate_train_step(model, optimizer, cfg, max_objects: int) -> Callable:
+    xyz_weights = tuple(cfg.xyz_weights)
+
+    @jax.jit
+    def _step(state: TrainState, batch: Dict, lr, bn_momentum):
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["feats"], batch["pyramid"], True, bn_momentum,
+                mutable=["batch_stats"],
+            )
+            losses = separate_losses(
+                out, batch["base_xyz"], batch["scale_labels"],
+                batch["obj_labels"], batch["obj_id"], batch["sym_code"],
+                batch["num_objects"], batch["pyramid"]["nvalid"][0],
+                xyz_weights, max_objects, cfg.log_scale,
+                cfg.xyz_factor, cfg.scale_factor,
+            )
+            return losses["loss"], (losses, updates["batch_stats"])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        upd, new_opt = optimizer.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        new_state = TrainState(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    def step(state, batch, lr, bn_momentum):
+        return _step(state, _strip_meta(batch), lr, bn_momentum)
+
+    return step

@@ -1,0 +1,182 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from canonicalvoting_tpu.config import Config
+from canonicalvoting_tpu.data.collate import collate_joint, collate_separate
+from canonicalvoting_tpu.data.geometry import NCLASSES
+from canonicalvoting_tpu.data.synthetic import make_scene
+from canonicalvoting_tpu.models import MinkUNet14A
+from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+from canonicalvoting_tpu.train.losses import (
+    SYM_CODES,
+    joint_losses,
+    separate_losses,
+    symmetry_xyz_loss,
+)
+from canonicalvoting_tpu.train.schedules import bn_momentum_for_epoch, lr_for_epoch
+from canonicalvoting_tpu.train.steps import (
+    create_train_state,
+    make_joint_train_step,
+    make_optimizer,
+    make_separate_train_step,
+)
+
+
+def _joint_items(rng, n_scenes=2):
+    items = []
+    for i in range(n_scenes):
+        scene = make_scene(rng, extent=(2.0, 1.5, 2.0), n_background=1500,
+                           n_boxes=1, pts_per_box=400)
+        coords, idx = sparse_quantize(scene.points, 0.03)
+        items.append((
+            f"scene{i}", coords, scene.rgb[idx], scene.xyz_labels[idx],
+            scene.scale_labels[idx], scene.class_labels[idx],
+        ))
+    return items
+
+
+def test_schedules_match_reference():
+    # base 1e-3, decay x0.1 at 80/120/160 (config/config.yaml:32-36)
+    assert lr_for_epoch(0, 1e-3, [80, 120, 160], [0.1, 0.1, 0.1]) == 1e-3
+    assert abs(lr_for_epoch(80, 1e-3, [80, 120, 160], [0.1, 0.1, 0.1]) - 1e-4) < 1e-12
+    assert abs(lr_for_epoch(160, 1e-3, [80, 120, 160], [0.1, 0.1, 0.1]) - 1e-6) < 1e-15
+    # bn momentum: 0.5 * 0.5^(epoch//20), floored at 0.001
+    assert bn_momentum_for_epoch(0, 20, 0.5) == 0.5
+    assert bn_momentum_for_epoch(20, 20, 0.5) == 0.25
+    assert bn_momentum_for_epoch(1000, 20, 0.5) == 0.001
+
+
+def test_joint_losses_match_manual(rng):
+    n, nc = 64, NCLASSES
+    out = rng.randn(n, 6 * nc + nc + 1).astype(np.float32)
+    xyz = rng.randn(n, 3).astype(np.float32)
+    scale = rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32)
+    cls = rng.randint(0, nc + 1, (n,)).astype(np.int32)
+    nvalid = 50
+
+    losses = joint_losses(out, xyz, scale, cls, nvalid, (1.0, 1.0, 1.0))
+
+    # manual reference computation over valid rows
+    mask = (cls[:nvalid] >= 0) & (cls[:nvalid] < nc)
+    idx = np.clip(cls[:nvalid], 0, nc - 1)
+    ox = out[:nvalid, : 3 * nc].reshape(-1, nc, 3)[np.arange(nvalid), idx]
+    osc = out[:nvalid, 3 * nc: 6 * nc].reshape(-1, nc, 3)[np.arange(nvalid), idx]
+    lx = np.mean((ox[mask] - xyz[:nvalid][mask]) ** 2)
+    ls = np.mean((osc[mask] - np.log(scale[:nvalid][mask])) ** 2)
+    logits = out[:nvalid, 6 * nc:]
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    lc = -np.mean(np.log(p[np.arange(nvalid), cls[:nvalid]] + 1e-30))
+    np.testing.assert_allclose(float(losses["loss_xyz"]), lx, rtol=1e-4)
+    np.testing.assert_allclose(float(losses["loss_scale"]), ls, rtol=1e-4)
+    np.testing.assert_allclose(float(losses["loss_class"]), lc, rtol=1e-4)
+
+
+def test_symmetry_loss_matches_loop_oracle(rng):
+    """Vectorized min-over-hypotheses == the reference's Python double loop
+    (train_separate.py:265-278)."""
+    from canonicalvoting_tpu.data.geometry import SYMMETRY_ANGLES, roty
+
+    n, n_obj = 120, 3
+    pred = rng.randn(n, 3).astype(np.float32)
+    base = rng.randn(n, 3).astype(np.float32)
+    obj_id = rng.randint(-1, n_obj, (n,)).astype(np.int32)
+    syms = ["__SYM_NONE", "__SYM_ROTATE_UP_4", "__SYM_ROTATE_UP_INF"]
+    sym_code = np.array([SYM_CODES[s] for s in syms], np.int32)
+    nvalid = 100
+
+    got = float(symmetry_xyz_loss(
+        pred, base, obj_id, np.pad(sym_code, (0, 13)), n_obj,
+        (1.0, 1.0, 1.0), 16, nvalid,
+    ))
+
+    # loop oracle
+    per_obj = []
+    for o in range(n_obj):
+        sel = (obj_id[:nvalid] == o)
+        if sel.sum() == 0:
+            continue
+        hyp_losses = []
+        for a in [0.0] + list(SYMMETRY_ANGLES[syms[o]]):
+            R = roty(-a)[:3, :3]
+            lab = base[:nvalid][sel] @ R.T
+            hyp_losses.append(np.mean((pred[:nvalid][sel] - lab) ** 2))
+        per_obj.append(min(hyp_losses))
+    expected = float(np.mean(per_obj))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_joint_train_step_decreases_loss(rng):
+    cfg = Config()
+    items = _joint_items(rng)
+    batch = collate_joint(items, cap_multiple=512)
+    model = MinkUNet14A(3, 6 * NCLASSES + NCLASSES + 1, compute_dtype="float32")
+    optimizer = make_optimizer(cfg.weight_decay)
+    state = create_train_state(model, optimizer, batch["feats"], batch["pyramid"])
+    step = make_joint_train_step(model, optimizer, cfg)
+
+    lr = jnp.float32(1e-3)
+    mom = jnp.float32(0.5)
+    state, losses0 = step(state, batch, lr, mom)
+    l0 = float(losses0["loss"])
+    for _ in range(5):
+        state, losses = step(state, batch, lr, mom)
+    l1 = float(losses["loss"])
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0, (l0, l1)
+
+
+def test_separate_train_step_runs(rng):
+    cfg = Config()
+    items = []
+    for i in range(2):
+        scene = make_scene(rng, extent=(2.0, 1.5, 2.0), n_background=1200,
+                           n_boxes=2, pts_per_box=300)
+        coords, idx = sparse_quantize(scene.points, 0.03)
+        cls = scene.class_labels[idx]
+        obj_lab = (cls < NCLASSES).astype(np.int32)
+        # object ids: boxes indexed in scene order
+        oid = np.full(len(coords), -1, np.int32)
+        for bi, b in enumerate(scene.boxes):
+            from canonicalvoting_tpu.data.geometry import rotmat_y
+            pw = coords.astype(np.float32) * 0.03
+            inv = ((pw - b.center) @ rotmat_y(b.yaw)) / b.scale
+            oid[np.all(np.abs(inv) < 1, -1)] = bi
+        sym = np.array([1, 3][: len(scene.boxes)], np.int32)
+        items.append((
+            f"s{i}", coords, scene.rgb[idx], scene.xyz_labels[idx],
+            scene.scale_labels[idx], obj_lab, cls, oid, sym,
+        ))
+    batch = collate_separate(items, cap_multiple=512, max_objects=16)
+    model = MinkUNet14A(3, 8, compute_dtype="float32")
+    optimizer = make_optimizer(0.0)
+    state = create_train_state(model, optimizer, batch["feats"], batch["pyramid"])
+    step = make_separate_train_step(model, optimizer, Config(), max_objects=16)
+    state, losses = step(state, batch, jnp.float32(1e-3), jnp.float32(0.5))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    from canonicalvoting_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = Config()
+    items = _joint_items(rng, n_scenes=1)
+    batch = collate_joint(items, cap_multiple=512)
+    model = MinkUNet14A(3, 64, compute_dtype="float32")
+    optimizer = make_optimizer(0.0)
+    state = create_train_state(model, optimizer, batch["feats"], batch["pyramid"])
+    path = str(tmp_path / "epoch10.ckpt")
+    save_checkpoint(path, state, 10)
+    restored, epoch = restore_checkpoint(path, state)
+    assert epoch == 10
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert latest_checkpoint(str(tmp_path)) == path
