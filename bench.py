@@ -37,26 +37,27 @@ def main():
     ]
 
     model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
-    coords0, _ = sparse_quantize(scenes[0].points, res)
-    pyr0 = build_pyramid(batched_coordinates([coords0]),
-                         PyramidSpec(cap_multiple=8192))
-    feats0 = np.zeros((pyr0.coords[0].shape[0], 3), np.float32)
-    from canonicalvoting_tpu.train.steps import init_variables
-
-    variables = init_variables(model, feats0, pyr0.as_jax_inputs(), train=False)
-
     pipe = DetectionPipeline(
-        model=model, variables=variables, res=res, num_rots=120,
+        model=model, variables=None, res=res, num_rots=120,
         peel=PeelConfig(res=res, max_boxes=64, max_iters=96),
-        grid_multiple=64, cap_multiple=8192,
+        cap_multiple=8192, backbone="dense",
     )
+    # init variables under jit with the first scene's dense geometry
+    args0 = pipe.prepare_scene(scenes[0].points, scenes[0].rgb)
+    _, feats0, flat0, valid0, _, _, dense_dims0 = args0
+    dense_model = pipe._dense_model
+    init_fn = jax.jit(
+        lambda r, f, fi, v: dense_model.init(r, f, fi, v, tuple(dense_dims0),
+                                             False)
+    )
+    pipe.variables = init_fn(jax.random.PRNGKey(0), feats0, flat0, valid0)
 
-    # Host prep (not timed separately; included in e2e below via cache)
+    # Host prep outside the timed loop (overlappable with device in prod)
     prepped = [pipe.prepare_scene(s.points, s.rgb) for s in scenes]
 
     # Warmup / compile every distinct shape
-    for feats, pyramid, coords_w, gshape in prepped:
-        out = pipe.run_scene(feats, pyramid, coords_w, gshape)
+    for args in prepped:
+        out = pipe.run_scene(args)
         jax.block_until_ready(out["boxes"])
 
     # Timed end-to-end (device path + host NMS), several passes
@@ -64,8 +65,8 @@ def main():
     t0 = time.time()
     total = 0
     for _ in range(n_iters):
-        for (feats, pyramid, coords_w, gshape), scene in zip(prepped, scenes):
-            out = pipe.run_scene(feats, pyramid, coords_w, gshape)
+        for args in prepped:
+            out = pipe.run_scene(args)
             dets = pipe.postprocess(out)
             total += 1
     elapsed = time.time() - t0

@@ -74,15 +74,37 @@ class DetectionPipeline:
     log_scale: bool = True
     use_xyz: bool = False
     peel: PeelConfig = None
-    grid_multiple: int = 64
+    grid_multiple: tuple = (64, 64, 128)
     cap_multiple: int = 4096
     nms_iou: float = 0.3
+    hv_method: str = "auto"
+    # "dense" executes the backbone as masked dense convs (MXU-bound, no
+    # kernel maps, ~1.5x faster + ~30x cheaper host prep); "sparse" is the
+    # gather-form gather-GEMM path; "auto" = dense on TPU, sparse elsewhere
+    # (dense Conv3D compiles/runs poorly on CPU). Same parameters either way.
+    backbone: str = "auto"
 
     def __post_init__(self):
         if self.peel is None:
             self.peel = PeelConfig(res=self.res)
+        if self.backbone == "auto":
+            self.backbone = (
+                "dense" if jax.default_backend() == "tpu" else "sparse"
+            )
 
     # ------------------------------------------------------------------
+    @functools.cached_property
+    def _dense_model(self):
+        from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+
+        m = self.model
+        return DenseMinkUNet(
+            in_channels=m.in_channels, out_channels=m.out_channels,
+            block=m.block, layers=m.layers, planes=m.planes,
+            init_dim=m.init_dim, stem_kernel=m.stem_kernel,
+            compute_dtype=m.compute_dtype, bn_axis=m.bn_axis,
+        )
+
     @functools.cached_property
     def _scene_fn(self):
         peel_cfg = self.peel
@@ -90,61 +112,113 @@ class DetectionPipeline:
         num_rots = self.num_rots
         log_scale = self.log_scale
         model = self.model
+        hv_method = self.hv_method
+        backbone = self.backbone
+        dense_model = self._dense_model if backbone == "dense" else None
 
-        @functools.partial(jax.jit, static_argnames=("grid_shape",))
-        def scene_fn(variables, feats, pyramid, coords_w, grid_shape):
-            out = model.apply(variables, feats, pyramid, False)
+        def tail(out, coords_w, valid, grid_shape):
             xyz, scale, class_pred, prob = slice_joint_heads(out)
             if log_scale:
                 scale = jnp.exp(scale)  # (:186-188)
-            nvalid = pyramid["nvalid"][0]
-            valid = valid_row_mask(feats.shape[0], nvalid)[:, 0]
             go, gr, gs = hough_voting(
                 coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
-                grid_shape=grid_shape, valid=valid,
+                grid_shape=grid_shape, valid=valid, method=hv_method,
             )
             corner = jnp.min(
-                jnp.where(valid[:, None] > 0, coords_w, jnp.float32(3e38)), axis=0
+                jnp.where(valid[:, None] > 0, coords_w, jnp.float32(3e38)),
+                axis=0,
             )
             return peel_boxes(
                 go, gr, gs, coords_w, xyz, prob, class_pred, corner, peel_cfg,
                 valid=valid,
             )
 
+        if backbone == "dense":
+
+            @functools.partial(
+                jax.jit, static_argnames=("grid_shape", "dense_dims")
+            )
+            def scene_fn(variables, feats, flat_idx, valid, coords_w,
+                         grid_shape, dense_dims):
+                out = dense_model.apply(
+                    variables, feats, flat_idx, valid, dense_dims, False
+                )
+                return tail(out, coords_w, valid, grid_shape)
+
+            return scene_fn
+
+        @functools.partial(jax.jit, static_argnames=("grid_shape",))
+        def scene_fn(variables, feats, pyramid, coords_w, grid_shape):
+            nvalid = pyramid["nvalid"][0]
+            valid = valid_row_mask(feats.shape[0], nvalid)[:, 0]
+            out = model.apply(variables, feats, pyramid, False)
+            return tail(out, coords_w, valid, grid_shape)
+
         return scene_fn
 
     # ------------------------------------------------------------------
     def prepare_scene(self, points: np.ndarray, rgb: np.ndarray):
-        """Host-side: quantize, build pyramid, pad, rescale feats."""
+        """Host-side prep. Returns an opaque args tuple for run_scene."""
         coords, idx = sparse_quantize(points, self.res)
         feats_raw = (
             np.concatenate([points[idx], rgb[idx]], -1)
             if self.use_xyz else rgb[idx]
         )
+        return self.prepare_quantized(coords, feats_raw)
+
+    def prepare_quantized(self, coords: np.ndarray, feats_raw: np.ndarray):
+        """Prep from already-quantized voxels (dataset items)."""
+        n = len(coords)
+        dims_w = (coords.max(0) - coords.min(0)).astype(np.int32) + 1
+        grid_shape = round_grid_shape(dims_w, self.grid_multiple)
+        cap = int(np.ceil(max(n, 1) / self.cap_multiple) * self.cap_multiple)
+        feats = np.zeros((cap, feats_raw.shape[1]), np.float32)
+        feats[:n] = feats_raw
+        feats[:, -3:] = feats[:, -3:] * 2.0 - 1.0  # (:167-168)
+        valid = np.zeros((cap,), np.float32)
+        valid[:n] = 1.0
+        coords_p = np.zeros((cap, 3), np.int32)
+        coords_p[:n] = coords[:, -3:]
+        coords_w = coords_p.astype(np.float32) * self.res
+
+        if self.backbone == "dense":
+            from canonicalvoting_tpu.data.dense_prep import (
+                dense_flat_ids,
+                dense_grid_geometry,
+            )
+
+            base, dense_dims = dense_grid_geometry(coords)
+            flat = np.full((cap,), -1, np.int32)
+            flat[:n] = dense_flat_ids(coords, base, dense_dims)
+            return ("dense", feats, flat, valid, coords_w, grid_shape,
+                    dense_dims)
+
         bcoords = batched_coordinates([coords])
         pyr = build_pyramid(
-            bcoords, PyramidSpec(cap_multiple=self.cap_multiple)
+            bcoords, PyramidSpec(capacities=None, cap_multiple=self.cap_multiple)
         )
         n0 = pyr.coords[0].shape[0]
-        feats = np.zeros((n0, feats_raw.shape[1]), np.float32)
-        feats[: len(feats_raw)] = feats_raw
-        feats[:, -3:] = feats[:, -3:] * 2.0 - 1.0  # (:167-168)
-        coords_w = pyr.coords[0][:, 1:].astype(np.float32) * self.res
-        nv = pyr.nvalid[0]
-        dims = (
-            (coords_w[:nv].max(0) - coords_w[:nv].min(0)) / self.res
-        ).astype(np.int32) + 1
-        grid_shape = round_grid_shape(dims, self.grid_multiple)
-        return feats, pyr.as_jax_inputs(), coords_w, grid_shape
+        feats_s = np.zeros((n0, feats_raw.shape[1]), np.float32)
+        feats_s[:n] = feats_raw
+        feats_s[:, -3:] = feats_s[:, -3:] * 2.0 - 1.0
+        coords_w_s = pyr.coords[0][:, 1:].astype(np.float32) * self.res
+        return ("sparse", feats_s, pyr.as_jax_inputs(), coords_w_s, grid_shape)
 
     def detect(self, points: np.ndarray, rgb: np.ndarray):
         """Full scene -> list of (classname, corners (8,3), prob)."""
-        feats, pyramid, coords_w, grid_shape = self.prepare_scene(points, rgb)
-        out = self._scene_fn(self.variables, feats, pyramid, coords_w, grid_shape)
-        return self.postprocess(out)
+        args = self.prepare_scene(points, rgb)
+        return self.postprocess(self.run_scene(args))
 
-    def run_scene(self, feats, pyramid, coords_w, grid_shape):
-        """Device pass on pre-prepared inputs (see prepare_scene)."""
+    def run_scene(self, args):
+        """Device pass on prepare_scene/prepare_quantized output."""
+        kind = args[0]
+        if kind == "dense":
+            _, feats, flat, valid, coords_w, grid_shape, dense_dims = args
+            return self._scene_fn(
+                self.variables, feats, flat, valid, coords_w,
+                grid_shape, tuple(dense_dims),
+            )
+        _, feats, pyramid, coords_w, grid_shape = args
         return self._scene_fn(self.variables, feats, pyramid, coords_w,
                               grid_shape)
 

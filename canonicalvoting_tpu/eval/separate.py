@@ -40,6 +40,7 @@ class SeparateDetectionPipeline:
     log_scale: bool = True
     peel: PeelConfig = None
     nms_iou: float = 0.3
+    hv_method: str = "auto"
 
     def __post_init__(self):
         if self.categories is None:
@@ -55,6 +56,7 @@ class SeparateDetectionPipeline:
         res = self.res
         num_rots = self.num_rots
         log_scale = self.log_scale
+        hv_method = self.hv_method
 
         @functools.partial(jax.jit, static_argnames=("grid_shape",))
         def scene_fn(stacked_vars, feats, pyramid, coords_w, grid_shape):
@@ -71,7 +73,7 @@ class SeparateDetectionPipeline:
                     scale = jnp.exp(scale)
                 go, gr, gs = hough_voting(
                     coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
-                    grid_shape=grid_shape, valid=valid,
+                    grid_shape=grid_shape, valid=valid, method=hv_method,
                 )
                 return peel_boxes(
                     go, gr, gs, coords_w, xyz, prob, None, corner, peel_cfg,

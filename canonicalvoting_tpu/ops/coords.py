@@ -89,6 +89,11 @@ def build_nbr_table(
     """
     n_in = len(in_coords) if in_valid is None else in_valid
     n_out = len(out_coords) if out_valid is None else out_valid
+    from canonicalvoting_tpu import native
+
+    got = native.build_nbr_table(in_coords, n_in, out_coords, n_out, offsets)
+    if got is not None:
+        return got
     keys_in = pack_coords(in_coords[:n_in])
     order = np.argsort(keys_in, kind="stable")
     sorted_keys = keys_in[order]
@@ -113,6 +118,12 @@ def downsample_coords(coords: np.ndarray, out_stride: int,
     """Coarse coordinate set: unique(floor(c / out_stride) * out_stride),
     sorted by packed key. Batch column preserved."""
     n = len(coords) if n_valid is None else n_valid
+    from canonicalvoting_tpu import native
+
+    got = native.downsample_coords(coords, n, out_stride)
+    if got is not None:
+        keys = pack_coords(got)
+        return got[np.argsort(keys, kind="stable")].astype(np.int32)
     c = coords[:n].astype(np.int64)
     down = c.copy()
     down[:, 1:] = (c[:, 1:] // out_stride) * out_stride

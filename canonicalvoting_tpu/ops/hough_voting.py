@@ -61,12 +61,17 @@ def grid_dims_from_corners(corners: jnp.ndarray, res: float) -> jnp.ndarray:
     return diff.astype(jnp.int32) + 1
 
 
-def round_grid_shape(dims, multiple: int = 64, cap: Optional[tuple] = None) -> tuple:
-    """Host helper: bucket concrete dims up to multiples of ``multiple`` to
-    bound the number of XLA recompiles across scenes."""
+def round_grid_shape(dims, multiple=64, cap: Optional[tuple] = None) -> tuple:
+    """Host helper: bucket concrete dims up to per-axis multiples to bound
+    the number of XLA recompiles across scenes. ``multiple`` may be an int
+    or a per-axis tuple; the Pallas vote kernel needs the z axis to be a
+    multiple of 128 (lane width)."""
+    if isinstance(multiple, int):
+        multiple = (multiple,) * 3
     out = []
     for i, d in enumerate(np.asarray(dims).tolist()):
-        r = int(np.ceil(max(d, 1) / multiple) * multiple)
+        m = multiple[i]
+        r = int(np.ceil(max(d, 1) / m) * m)
         if cap is not None:
             r = min(r, cap[i])
         out.append(r)
@@ -148,6 +153,7 @@ def _make_hv(
     grid_shape: Tuple[int, int, int],
     rot_chunk: int,
     auto_corners: bool,
+    method: str = "xla",
 ):
     """Build the custom-VJP'd voting function for a static configuration."""
     thetas_np, theta_valid_np = _theta_chunks(num_rots, rot_chunk)
@@ -164,6 +170,19 @@ def _make_hv(
 
     def _forward(points, xyz, scale, obj, corners, valid):
         corner, dims = _corner_dims(points, valid, corners)
+        if method in ("pallas", "pallas_interpret"):
+            from canonicalvoting_tpu.ops.pallas.hv_splat import hv_splat_pallas
+
+            raw = hv_splat_pallas(
+                points, xyz, scale, obj, corner, dims, res,
+                num_rots=num_rots, grid_shape=grid_shape, valid=valid,
+                interpret=(method == "pallas_interpret"),
+            )
+            grid_obj = raw[..., 0]
+            denom = raw[..., 0:1] + 1e-7
+            grid_rot = raw[..., 1:3] / denom
+            grid_scale = raw[..., 3:6] / denom
+            return grid_obj, grid_rot, grid_scale
         corr = xyz * scale  # (hv_cuda_kernel.cu:29-33)
         objv = obj if valid is None else obj * valid
 
@@ -333,6 +352,7 @@ def hough_voting(
     corners: Optional[jnp.ndarray] = None,
     valid: Optional[jnp.ndarray] = None,
     rot_chunk: int = 4,
+    method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Canonical Hough voting (jit-friendly).
 
@@ -351,13 +371,23 @@ def hough_voting(
         variant used by the SUN RGB-D plugin (sunrgbd/brnetcanon.py:96-117).
         When None, corners come from the (valid-masked) point AABB.
       valid: optional (N,) mask; invalid rows contribute nothing.
-      rot_chunk: rotations processed per scan step (memory knob).
+      rot_chunk: rotations processed per scan step (memory knob, xla path).
+      method: "xla" (scatter-add scan; reference-exact, differentiable),
+        "pallas" (plane-splat MXU kernel, ~100x faster forward on TPU; the
+        custom VJP still uses the xla transpose), "pallas_interpret"
+        (Pallas interpreter, for CPU tests), or "auto" (pallas on TPU when
+        the grid shape is kernel-compatible, else xla).
 
     Returns:
       (grid_obj (Gx,Gy,Gz), grid_rot (Gx,Gy,Gz,2), grid_scale (Gx,Gy,Gz,3)).
     """
     auto = corners is None
-    hv = _make_hv(float(res), int(num_rots), tuple(grid_shape), int(rot_chunk), auto)
+    if method == "auto":
+        gz_ok = grid_shape[2] % 128 == 0
+        on_tpu = jax.default_backend() == "tpu"
+        method = "pallas" if (on_tpu and gz_ok) else "xla"
+    hv = _make_hv(float(res), int(num_rots), tuple(grid_shape),
+                  int(rot_chunk), auto, method)
     if valid is not None:
         valid = valid.astype(points.dtype)
     if corners is not None:

@@ -1,0 +1,259 @@
+"""Pallas TPU kernel: canonical Hough voting as per-y-plane MXU matmuls.
+
+WHY. The voting op (reference hv_cuda_kernel.cu:12-97) is a scatter-add of
+N x num_rots x 8 trilinear corner weights. GPUs do this with atomicAdd;
+XLA's TPU scatter-add processes ~10-20M updates/s, which makes a realistic
+ScanNet scene (66k voxels x 120 rotations x 8 corners ~ 64M updates) take
+~6 s. TPUs have no fast random scatter — but they have the MXU.
+
+HOW. Two structural facts of the rotation sweep:
+
+  1. The Y component of every vote is rotation-INVARIANT
+     (offset_y = -xyz_y*scale_y, hv_cuda_kernel.cu:39): each point writes to
+     exactly two y-planes (floor/ceil) with fixed weights for all rotations.
+  2. The trilinear splat factorizes: within a y-plane a vote contributes
+     w_y * (x-bilinear one-hot) (x) (z-bilinear one-hot) — an OUTER PRODUCT.
+
+So: sort points by their vote y-plane (one cheap N-key sort) and let grid
+program j accumulate plane j as a sequence of matmuls
+
+    canvas_j (6*Gx, Gz) += A6^T @ Cz
+
+over vote chunks from the contiguous point range whose floor-y is {j-1, j}
+(scalar-prefetched range offsets). A6 (V, 6*Gx) holds the x-bilinear
+one-hots scaled per channel (obj, obj*cos, obj*sin, obj*s_{x,y,z}, all
+premultiplied by the plane's y-weight); Cz (V, Gz) the z-bilinear one-hots.
+Scatter becomes ~2*N*R*6*Gx*Gz dense bf16 MACs with f32 accumulation —
+tens of milliseconds instead of seconds, and deterministic.
+
+The backward pass stays on the XLA path (ops/hough_voting.py) — training
+never differentiates through the vote op in the reference pipelines
+(SURVEY section 3.1), so only eval throughput matters here.
+
+Layout notes (Mosaic): points live on the SUBLANE axis (chunks of C=128
+rows); rotations are a static python unroll of Rc=8 per matmul, giving a
+contraction dim V = Rc*C = 1024. All intermediates are 2D; channel scaling
+builds A6 by lane-concatenation, avoiding 3D reshapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 2.0 * 3.141592654  # matches the CUDA kernel constant
+
+# cols of the packed per-point row
+_PX, _PZ, _CORX, _CORZ, _OBJ, _SX, _SY, _SZ, _WY1, _JY = range(10)
+_NCOLS = 128  # padded to full lane width for aligned DMA slices
+
+
+def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
+            *, C: int, Rc: int, n_rot_steps: int, num_rots: int,
+            gx: int, gz: int):
+    j = pl.program_id(0)
+    start = starts_ref[j]
+    end = ends_ref[j]
+    dims_x = dims_ref[0].astype(jnp.float32)
+    dims_z = dims_ref[1].astype(jnp.float32)
+    dtheta = jnp.float32(_TWO_PI / num_rots)
+    jf = j.astype(jnp.float32)
+
+    out_ref[0] = jnp.zeros((6 * gx, gz), jnp.float32)
+
+    n = jnp.maximum(end - start, 0)
+    n_chunks = pl.cdiv(n, C)
+
+    colx = jax.lax.broadcasted_iota(jnp.int32, (C, gx), 1)
+    colz = jax.lax.broadcasted_iota(jnp.int32, (C, gz), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+
+    def chunk_body(ci, _):
+        row0 = start + ci * C
+        cp = pltpu.make_async_copy(
+            data_hbm.at[pl.ds(row0, C), :], pt_ref, sem
+        )
+        cp.start()
+        cp.wait()
+
+        px = pt_ref[:, _PX:_PX + 1]      # (C, 1)
+        pz = pt_ref[:, _PZ:_PZ + 1]
+        corx = pt_ref[:, _CORX:_CORX + 1]
+        corz = pt_ref[:, _CORZ:_CORZ + 1]
+        obj = pt_ref[:, _OBJ:_OBJ + 1]
+        sx = pt_ref[:, _SX:_SX + 1]
+        sy = pt_ref[:, _SY:_SY + 1]
+        sz = pt_ref[:, _SZ:_SZ + 1]
+        wy1 = pt_ref[:, _WY1:_WY1 + 1]
+        jy = pt_ref[:, _JY:_JY + 1]
+
+        row_ok = ((row0 + row_iota) < end).astype(jnp.float32)  # (C, 1)
+        wy = jnp.where(jy == jf, 1.0 - wy1, wy1)
+        base = obj * wy * row_ok  # (C, 1)
+
+        def rot_step(ti, _):
+            a_parts = []
+            c_parts = []
+            for r in range(Rc):
+                t = ti * Rc + r
+                theta = t.astype(jnp.float32) * dtheta
+                rot_ok = (t < num_rots).astype(jnp.float32)
+                c = jnp.cos(theta)
+                s = jnp.sin(theta)
+                ux = px - c * corx + s * corz     # (C, 1)
+                uz = pz - s * corx - c * corz
+                ok = (
+                    (ux >= 0.0) & (ux < dims_x - 1.0)
+                    & (uz >= 0.0) & (uz < dims_z - 1.0)
+                ).astype(jnp.float32) * rot_ok
+
+                fx = jnp.floor(ux)
+                fz = jnp.floor(uz)
+                wx1 = ux - fx
+                wz1 = uz - fz
+                ixi = fx.astype(jnp.int32)
+                izi = fz.astype(jnp.int32)
+
+                ax = (
+                    (colx == ixi).astype(jnp.float32) * (1.0 - wx1)
+                    + (colx == ixi + 1).astype(jnp.float32) * wx1
+                )  # (C, gx)
+                czr = (
+                    (colz == izi).astype(jnp.float32) * (1.0 - wz1)
+                    + (colz == izi + 1).astype(jnp.float32) * wz1
+                )  # (C, gz)
+
+                b = base * ok  # (C, 1)
+                axb = ax.astype(jnp.bfloat16)
+                # channels: [obj, obj*cos, obj*sin, obj*sx, obj*sy, obj*sz]
+                a6r = jnp.concatenate(
+                    [
+                        (b * 1.0).astype(jnp.bfloat16) * axb,
+                        (b * c).astype(jnp.bfloat16) * axb,
+                        (b * s).astype(jnp.bfloat16) * axb,
+                        (b * sx).astype(jnp.bfloat16) * axb,
+                        (b * sy).astype(jnp.bfloat16) * axb,
+                        (b * sz).astype(jnp.bfloat16) * axb,
+                    ],
+                    axis=1,
+                )  # (C, 6*gx)
+                a_parts.append(a6r)
+                c_parts.append(czr.astype(jnp.bfloat16))
+
+            a6 = jnp.concatenate(a_parts, axis=0)   # (Rc*C, 6*gx)
+            czm = jnp.concatenate(c_parts, axis=0)  # (Rc*C, gz)
+            update = jax.lax.dot_general(
+                a6, czm,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (6*gx, gz)
+            out_ref[0] += update
+            return 0
+
+        jax.lax.fori_loop(0, n_rot_steps, rot_step, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rots", "grid_shape", "chunk_points", "rot_chunk",
+                     "interpret"),
+)
+def hv_splat_pallas(
+    points: jnp.ndarray,
+    xyz: jnp.ndarray,
+    scale: jnp.ndarray,
+    obj: jnp.ndarray,
+    corner: jnp.ndarray,
+    dims: jnp.ndarray,
+    res: float,
+    *,
+    num_rots: int,
+    grid_shape: Tuple[int, int, int],
+    valid: jnp.ndarray = None,
+    chunk_points: int = 128,
+    rot_chunk: int = 8,
+    interpret: bool = False,
+):
+    """Raw (unnormalized) 6-channel vote grid via the plane-splat kernel.
+
+    Args mirror ops.hough_voting internals: ``corner`` (3,) is the grid
+    origin, ``dims`` (3,) int32 the ACTUAL grid dims (bounds test), ``res``
+    the cell size. Returns (Gx, Gy, Gz, 6) float32 raw sums
+    [obj, obj*cos, obj*sin, obj*sx, obj*sy, obj*sz].
+    """
+    gx, gy, gz = grid_shape
+    assert gz % 128 == 0, "Gz must be a multiple of 128 (lane dim)"
+    n = points.shape[0]
+    res_f = jnp.float32(res)
+
+    corr = xyz * scale
+    center_y = (points[:, 1] - corr[:, 1] - corner[1]) / res_f
+    jy = jnp.floor(center_y).astype(jnp.int32)
+    wy1 = center_y - jy.astype(jnp.float32)
+    y_ok = (center_y >= 0.0) & (center_y < (dims[1].astype(jnp.float32) - 1.0))
+    if valid is not None:
+        y_ok = y_ok & (valid > 0)
+    key = jnp.where(y_ok, jy, gy).astype(jnp.int32)
+
+    data = jnp.zeros((n, _NCOLS), jnp.float32)
+    data = data.at[:, _PX].set((points[:, 0] - corner[0]) / res_f)
+    data = data.at[:, _PZ].set((points[:, 2] - corner[2]) / res_f)
+    data = data.at[:, _CORX].set(corr[:, 0] / res_f)
+    data = data.at[:, _CORZ].set(corr[:, 2] / res_f)
+    data = data.at[:, _OBJ].set(obj)
+    data = data.at[:, _SX].set(scale[:, 0])
+    data = data.at[:, _SY].set(scale[:, 1])
+    data = data.at[:, _SZ].set(scale[:, 2])
+    data = data.at[:, _WY1].set(wy1)
+
+    order = jnp.argsort(key)
+    sort_keys = key[order]
+    data = data[order]
+    data = data.at[:, _JY].set(sort_keys.astype(jnp.float32))
+    # pad so chunk DMAs never run off the end
+    data = jnp.concatenate(
+        [data, jnp.zeros((chunk_points, _NCOLS), jnp.float32)], axis=0
+    )
+
+    planes = jnp.arange(gy, dtype=jnp.int32)
+    starts = jnp.searchsorted(sort_keys, planes - 1, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sort_keys, planes + 1, side="left").astype(jnp.int32)
+    dims_xz = jnp.stack([dims[0], dims[2]]).astype(jnp.int32)
+
+    n_rot_steps = int(np.ceil(num_rots / rot_chunk))
+    kernel = functools.partial(
+        _kernel, C=chunk_points, Rc=rot_chunk, n_rot_steps=n_rot_steps,
+        num_rots=num_rots, gx=gx, gz=gz,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gy,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, 6 * gx, gz), lambda j, *_: (j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk_points, _NCOLS), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gy, 6 * gx, gz), jnp.float32),
+        interpret=interpret,
+    )(starts, ends, dims_xz, data)
+
+    # (Gy, 6, Gx, Gz) -> (Gx, Gy, Gz, 6)
+    out = out.reshape(gy, 6, gx, gz)
+    return jnp.transpose(out, (2, 0, 3, 1))

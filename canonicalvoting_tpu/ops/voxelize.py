@@ -40,6 +40,22 @@ def sparse_quantize(
     mirroring ``ME.utils.sparse_quantize(..., return_index=True)``.
     """
     points = np.asarray(points)
+    from canonicalvoting_tpu import native
+
+    got = native.sparse_quantize(
+        np.ascontiguousarray(points[:, :3], np.float32), quantization_size
+    )
+    if got is not None:
+        coords, index = got
+        # deterministic key-sorted output (spatial locality helps the
+        # device-side gathers downstream)
+        keys = quantize_keys(coords.astype(np.int64))
+        order = np.argsort(keys, kind="stable")
+        coords = coords[order].astype(np.int32)
+        index = index[order]
+        if return_index:
+            return coords, index
+        return coords
     vox = np.floor(points[:, :3] / quantization_size).astype(np.int64)
     keys = quantize_keys(vox)
     # First occurrence per key, then sort output by key for determinism.

@@ -106,11 +106,11 @@ def run_joint_training(
             save_checkpoint(
                 os.path.join(workdir, f"epoch{epoch}.ckpt"), state, epoch
             )
-            ret = run_joint_validation(cfg, model, state, val_loader, gt_lookup)
+            ret = run_joint_validation(cfg, model, state, val_dataset, gt_lookup)
     return state, ret
 
 
-def run_joint_validation(cfg, model, state, val_loader, gt_lookup):
+def run_joint_validation(cfg, model, state, val_dataset, gt_lookup):
     """Detection + Scan2CAD mAP over the validation split
     (reference train_joint.py:293-473)."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -122,17 +122,11 @@ def run_joint_validation(cfg, model, state, val_loader, gt_lookup):
     )
     pred_map_cls = {}
     gt_map_cls = {}
-    for batch in val_loader:
-        id_scan = batch["meta"]["ids"][0]
-        coords_w = batch["meta"]["coords"][:, 1:].astype(np.float32) * cfg.scannet_res
-        nv = int(batch["pyramid"]["nvalid"][0])
-        dims = (
-            (coords_w[:nv].max(0) - coords_w[:nv].min(0)) / cfg.scannet_res
-        ).astype(np.int32) + 1
-        from canonicalvoting_tpu.ops.hough_voting import round_grid_shape
-
-        gshape = round_grid_shape(dims, pipe.grid_multiple)
-        out = pipe.run_scene(batch["feats"], batch["pyramid"], coords_w, gshape)
+    for i in range(len(val_dataset)):
+        item = val_dataset[i]
+        id_scan, coords, feats_raw = item[0], item[1], item[2]
+        args = pipe.prepare_quantized(coords, feats_raw)
+        out = pipe.run_scene(args)
         pred_map_cls[id_scan] = pipe.postprocess(out)
         if gt_lookup is not None:
             gt_map_cls[id_scan] = gt_lookup(id_scan)

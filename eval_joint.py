@@ -106,21 +106,7 @@ def main(argv):
                                 max_boxes=cfg.tpu.max_boxes),
                 cap_multiple=4096,
             )
-        # re-run host prep from raw feats (already quantized items)
-        pyr = build_pyramid(batched_coordinates([coords]),
-                            PyramidSpec(cap_multiple=4096))
-        n0 = pyr.coords[0].shape[0]
-        feats = np.zeros((n0, feats_raw.shape[1]), np.float32)
-        feats[: len(feats_raw)] = feats_raw
-        feats[:, -3:] = feats[:, -3:] * 2.0 - 1.0
-        coords_w = pyr.coords[0][:, 1:].astype(np.float32) * cfg.scannet_res
-        nv = pyr.nvalid[0]
-        from canonicalvoting_tpu.ops.hough_voting import round_grid_shape
-
-        dims = ((coords_w[:nv].max(0) - coords_w[:nv].min(0))
-                / cfg.scannet_res).astype(np.int32) + 1
-        gshape = round_grid_shape(dims, pipe.grid_multiple)
-        out = pipe.run_scene(feats, pyr.as_jax_inputs(), coords_w, gshape)
+        out = pipe.run_scene(pipe.prepare_quantized(coords, feats_raw))
         dets = pipe.postprocess(out)
         if scenenn:
             dets = [d for d in dets if d[0] in

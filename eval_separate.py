@@ -78,7 +78,7 @@ def main(argv):
         nv = pyr.nvalid[0]
         dims = ((coords_w[:nv].max(0) - coords_w[:nv].min(0))
                 / cfg.scannet_res).astype(np.int32) + 1
-        gshape = round_grid_shape(dims, 64)
+        gshape = round_grid_shape(dims, (64, 64, 128))
 
         if pipe is None:
             variables_list = []

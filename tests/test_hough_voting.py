@@ -165,3 +165,40 @@ def test_jit_and_vmap_compose(rng):
     )
     np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single), atol=1e-5)
     np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single), atol=1e-5)
+
+
+def test_pallas_interpret_matches_xla(rng):
+    """Plane-splat Pallas kernel (interpret mode) vs the XLA scatter path."""
+    points, xyz, scale, obj = _random_scene(rng, n=60)
+    res = 0.05
+    gshape = (24, 16, 128)
+    ref = hough_voting(points, xyz, scale, obj, res=res, num_rots=12,
+                       grid_shape=gshape, method="xla")
+    got = hough_voting(points, xyz, scale, obj, res=res, num_rots=12,
+                       grid_shape=gshape, method="pallas_interpret")
+    ro = np.asarray(ref[0])
+    go = np.asarray(got[0])
+    # bf16 one-hot weights: ~0.5% relative tolerance
+    np.testing.assert_allclose(go, ro, atol=2e-2 + 5e-3 * ro.max())
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[2]), np.asarray(ref[2]), atol=2e-2
+    )
+
+
+def test_pallas_interpret_valid_mask(rng):
+    points, xyz, scale, obj = _random_scene(rng, n=40)
+    valid = (rng.uniform(size=40) > 0.4).astype(np.float32)
+    gshape = (24, 16, 128)
+    ref = hough_voting(points, xyz, scale, obj, res=0.05, num_rots=8,
+                       grid_shape=gshape, valid=jnp.asarray(valid),
+                       method="xla")
+    got = hough_voting(points, xyz, scale, obj, res=0.05, num_rots=8,
+                       grid_shape=gshape, valid=jnp.asarray(valid),
+                       method="pallas_interpret")
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]),
+        atol=2e-2 + 5e-3 * float(np.asarray(ref[0]).max()),
+    )

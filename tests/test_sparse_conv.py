@@ -190,3 +190,43 @@ def test_pyramid_padding_isolated(rng):
     for i in range(4):
         assert np.all(pyr.nbr_down[i][: pyr.nvalid[i + 1]] < pyr.nvalid[i])
         assert np.all(pyr.nbr_up[i][: pyr.nvalid[i]] < pyr.nvalid[i + 1])
+
+
+def test_native_matches_numpy_coordinate_manager(rng):
+    """C coordinate manager == NumPy fallback, exactly."""
+    import canonicalvoting_tpu.native as native_mod
+    from canonicalvoting_tpu.ops.coords import _pad_coords
+
+    if native_mod.lib() is None:
+        import pytest
+
+        pytest.skip("no C compiler available")
+    coords = _random_coords(rng, 300, extent=24)
+    padded = _pad_coords(coords, 384)
+    offs = kernel_offsets(3, 1)
+    nat = native_mod.build_nbr_table(padded, len(coords), padded, len(coords), offs)
+    # numpy path
+    import os
+
+    os.environ["CVT_NO_NATIVE"] = "1"
+    native_mod._tried = False
+    native_mod._lib = None
+    try:
+        ref = build_nbr_table(padded, padded, offs, in_valid=len(coords),
+                              out_valid=len(coords))
+        np.testing.assert_array_equal(nat, ref)
+
+        got_d = native_mod.downsample_coords(coords, len(coords), 2)
+        assert got_d is None  # disabled via env
+    finally:
+        del os.environ["CVT_NO_NATIVE"]
+        native_mod._tried = False
+        native_mod._lib = None
+    # downsample parity (native on, vs pure-numpy formula)
+    down_ref = np.unique(
+        np.concatenate(
+            [coords[:, :1], (coords[:, 1:] // 2) * 2], 1
+        ), axis=0,
+    )
+    down_nat = downsample_coords(coords, 2)
+    assert set(map(tuple, down_nat.tolist())) == set(map(tuple, down_ref.tolist()))
