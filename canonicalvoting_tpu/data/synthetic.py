@@ -43,6 +43,46 @@ class SyntheticScene:
         return out
 
 
+def _room_surface(rng, ex, n):
+    """Points on floor + walls (RGB-D scans are surfaces, not volumes)."""
+    # allocate by surface area
+    areas = np.array([
+        ex[0] * ex[2],            # floor
+        ex[0] * ex[1], ex[0] * ex[1],  # front/back walls
+        ex[2] * ex[1], ex[2] * ex[1],  # left/right walls
+    ])
+    counts = (n * areas / areas.sum()).astype(int)
+    pts = []
+    u = rng.uniform(size=(counts[0], 2))
+    pts.append(np.stack([u[:, 0] * ex[0], np.zeros(counts[0]), u[:, 1] * ex[2]], -1))
+    for i, z in ((1, 0.0), (2, float(ex[2]))):
+        u = rng.uniform(size=(counts[i], 2))
+        pts.append(np.stack([u[:, 0] * ex[0], u[:, 1] * ex[1],
+                             np.full(counts[i], z)], -1))
+    for i, x in ((3, 0.0), (4, float(ex[0]))):
+        u = rng.uniform(size=(counts[i], 2))
+        pts.append(np.stack([np.full(counts[i], x), u[:, 1] * ex[1],
+                             u[:, 0] * ex[2]], -1))
+    out = np.concatenate(pts, 0).astype(np.float32)
+    return out + rng.randn(len(out), 3).astype(np.float32) * 0.01
+
+
+def _box_surface_lcc(rng, n):
+    """Canonical coords on the surface of the [-1,1]^3 box."""
+    face = rng.randint(6, size=n)
+    u = rng.uniform(-0.98, 0.98, (n, 2)).astype(np.float32)
+    sign = np.where(face % 2 == 0, -0.98, 0.98).astype(np.float32)
+    axis = face // 2
+    lcc = np.zeros((n, 3), np.float32)
+    for a in range(3):
+        sel = axis == a
+        others = [b for b in range(3) if b != a]
+        lcc[sel, a] = sign[sel]
+        lcc[sel, others[0]] = u[sel, 0]
+        lcc[sel, others[1]] = u[sel, 1]
+    return lcc
+
+
 def make_scene(
     rng: np.random.RandomState,
     extent=(6.0, 2.5, 7.0),
@@ -50,9 +90,13 @@ def make_scene(
     n_boxes: int = 4,
     pts_per_box: int = 3000,
     scale_range=(0.3, 0.7),
+    surface: bool = True,
 ) -> SyntheticScene:
     ex = np.asarray(extent, np.float32)
-    pts = [rng.uniform([0, 0, 0], ex, (n_background, 3)).astype(np.float32)]
+    if surface:
+        pts = [_room_surface(rng, ex, n_background)]
+    else:
+        pts = [rng.uniform([0, 0, 0], ex, (n_background, 3)).astype(np.float32)]
     boxes = []
     for i in range(n_boxes):
         scale = rng.uniform(*scale_range, 3).astype(np.float32)
@@ -69,7 +113,10 @@ def make_scene(
             if ok:
                 break
         yaw = float(rng.uniform(-np.pi, np.pi))
-        lcc = rng.uniform(-0.95, 0.95, (pts_per_box, 3)).astype(np.float32)
+        if surface:
+            lcc = _box_surface_lcc(rng, pts_per_box)
+        else:
+            lcc = rng.uniform(-0.95, 0.95, (pts_per_box, 3)).astype(np.float32)
         world = (rotmat_y(yaw) @ (lcc * scale).T).T + center
         pts.append(world.astype(np.float32))
         boxes.append(SyntheticBox(center, scale, yaw, i % NCLASSES))

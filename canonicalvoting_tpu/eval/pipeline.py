@@ -106,16 +106,22 @@ class DetectionPipeline:
         )
 
     @functools.cached_property
-    def _scene_fn(self):
+    def _tail_fn(self):
+        """Head slice -> vote -> peel, jitted separately from the backbone.
+
+        Two dispatches instead of one: when the plane-splat Pallas call sits
+        in the same XLA program as the ~60-conv backbone, the TPU scheduler
+        serializes poorly and the program runs ~1.6x slower than the two
+        halves do back to back (measured on v5e; see benchmarks/
+        profile_bisect.py). The extra dispatch costs ~8 ms.
+        """
         peel_cfg = self.peel
         res = self.res
         num_rots = self.num_rots
         log_scale = self.log_scale
-        model = self.model
         hv_method = self.hv_method
-        backbone = self.backbone
-        dense_model = self._dense_model if backbone == "dense" else None
 
+        @functools.partial(jax.jit, static_argnames=("grid_shape",))
         def tail(out, coords_w, valid, grid_shape):
             xyz, scale, class_pred, prob = slice_joint_heads(out)
             if log_scale:
@@ -133,28 +139,29 @@ class DetectionPipeline:
                 valid=valid,
             )
 
+        return tail
+
+    @functools.cached_property
+    def _backbone_fn(self):
+        model = self.model
+        backbone = self.backbone
+        dense_model = self._dense_model if backbone == "dense" else None
+
         if backbone == "dense":
 
-            @functools.partial(
-                jax.jit, static_argnames=("grid_shape", "dense_dims")
-            )
-            def scene_fn(variables, feats, flat_idx, valid, coords_w,
-                         grid_shape, dense_dims):
-                out = dense_model.apply(
+            @functools.partial(jax.jit, static_argnames=("dense_dims",))
+            def backbone_fn(variables, feats, flat_idx, valid, dense_dims):
+                return dense_model.apply(
                     variables, feats, flat_idx, valid, dense_dims, False
                 )
-                return tail(out, coords_w, valid, grid_shape)
 
-            return scene_fn
+            return backbone_fn
 
-        @functools.partial(jax.jit, static_argnames=("grid_shape",))
-        def scene_fn(variables, feats, pyramid, coords_w, grid_shape):
-            nvalid = pyramid["nvalid"][0]
-            valid = valid_row_mask(feats.shape[0], nvalid)[:, 0]
-            out = model.apply(variables, feats, pyramid, False)
-            return tail(out, coords_w, valid, grid_shape)
+        @jax.jit
+        def backbone_fn(variables, feats, pyramid):
+            return model.apply(variables, feats, pyramid, False)
 
-        return scene_fn
+        return backbone_fn
 
     # ------------------------------------------------------------------
     def prepare_scene(self, points: np.ndarray, rgb: np.ndarray):
@@ -190,6 +197,12 @@ class DetectionPipeline:
             base, dense_dims = dense_grid_geometry(coords)
             flat = np.full((cap,), -1, np.int32)
             flat[:n] = dense_flat_ids(coords, base, dense_dims)
+            # pre-stage on device: per-call numpy->device uploads through
+            # the transfer path cost ~40-100 ms each (async here, so they
+            # overlap host prep of the next scene)
+            feats, flat, valid, coords_w = jax.device_put(
+                (feats, flat, valid, coords_w)
+            )
             return ("dense", feats, flat, valid, coords_w, grid_shape,
                     dense_dims)
 
@@ -202,7 +215,10 @@ class DetectionPipeline:
         feats_s[:n] = feats_raw
         feats_s[:, -3:] = feats_s[:, -3:] * 2.0 - 1.0
         coords_w_s = pyr.coords[0][:, 1:].astype(np.float32) * self.res
-        return ("sparse", feats_s, pyr.as_jax_inputs(), coords_w_s, grid_shape)
+        feats_s, pyr_j, coords_w_s = jax.device_put(
+            (feats_s, pyr.as_jax_inputs(), coords_w_s)
+        )
+        return ("sparse", feats_s, pyr_j, coords_w_s, grid_shape)
 
     def detect(self, points: np.ndarray, rgb: np.ndarray):
         """Full scene -> list of (classname, corners (8,3), prob)."""
@@ -214,13 +230,15 @@ class DetectionPipeline:
         kind = args[0]
         if kind == "dense":
             _, feats, flat, valid, coords_w, grid_shape, dense_dims = args
-            return self._scene_fn(
-                self.variables, feats, flat, valid, coords_w,
-                grid_shape, tuple(dense_dims),
+            out = self._backbone_fn(
+                self.variables, feats, flat, valid, tuple(dense_dims)
             )
+            return self._tail_fn(out, coords_w, valid, grid_shape)
         _, feats, pyramid, coords_w, grid_shape = args
-        return self._scene_fn(self.variables, feats, pyramid, coords_w,
-                              grid_shape)
+        nvalid = pyramid["nvalid"][0]
+        valid = valid_row_mask(feats.shape[0], nvalid)[:, 0]
+        out = self._backbone_fn(self.variables, feats, pyramid)
+        return self._tail_fn(out, coords_w, valid, grid_shape)
 
     def postprocess(self, out) -> list:
         """Host NMS + class naming (eval_joint.py:270-280)."""

@@ -26,7 +26,6 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from canonicalvoting_tpu.data.collate import collate_joint
 from canonicalvoting_tpu.train.losses import joint_losses
 from canonicalvoting_tpu.train.steps import TrainState
 

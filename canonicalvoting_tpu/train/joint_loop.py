@@ -13,9 +13,7 @@ import os
 import time
 from typing import Callable, Optional
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from canonicalvoting_tpu.config import Config
 from canonicalvoting_tpu.data.collate import collate_joint

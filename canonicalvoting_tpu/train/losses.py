@@ -15,7 +15,7 @@ that hypothesis h's label is just Rot_y(-angle_h) applied to the base LCC
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +73,8 @@ def joint_losses(
     out_scale = out[:, 3 * nclasses: 6 * nclasses].reshape(-1, nclasses, 3)
     out_class = out[:, 6 * nclasses:]
 
-    # gather per-GT-class heads; invalid/背景 clamped to 0 (train_joint.py:253-255)
+    # gather per-GT-class heads; invalid/background clamped to 0
+    # (train_joint.py:253-255)
     idx = jnp.clip(class_labels, 0, nclasses - 1)
     pred_xyz = jnp.take_along_axis(out_xyz, idx[:, None, None], axis=1)[:, 0]
     pred_scale = jnp.take_along_axis(out_scale, idx[:, None, None], axis=1)[:, 0]
@@ -136,8 +137,6 @@ def symmetry_xyz_loss(
     hvalid = jnp.asarray(_SYM_VALID)[jnp.clip(sym_code, 0, 3)]   # (O, H)
 
     w = jnp.asarray(xyz_weights, jnp.float32)
-    H = MAX_HYPOTHESES
-    theta = jnp.asarray(_SYM_ANGLES).reshape(-1)  # not used directly
     # per-point per-hypothesis rotated base labels need per-object angles;
     # gather per-point angle rows:
     ang_pt = angles[jnp.clip(obj_id, 0, max_objects - 1)]  # (N, H)

@@ -8,7 +8,6 @@ without recompiling; the BN momentum schedule rides along as a step input
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict
 
 import flax
