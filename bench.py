@@ -47,7 +47,7 @@ def main():
     )
     # init variables under jit with the first scene's dense geometry
     args0 = pipe.prepare_scene(scenes[0].points, scenes[0].rgb)
-    _, feats0, flat0, valid0, _, _, dense_dims0 = args0
+    _, feats0, flat0, valid0, _, _, dense_dims0, _ = args0
     dense_model = pipe._dense_model
     init_fn = jax.jit(
         lambda r, f, fi, v: dense_model.init(r, f, fi, v, tuple(dense_dims0),
@@ -63,14 +63,16 @@ def main():
         out = pipe.run_scene(args)
         int(out["n_boxes"])
 
-    # Timed end-to-end (device path + host NMS); best pass wins
+    # Timed end-to-end (device path + host NMS); best pass wins.
+    # Dispatches are pipelined (all scenes enqueued, then fetched in order)
+    # — the serving pattern — so per-scene host round trips overlap compute.
     n_passes = 5
     best = 0.0
     for p in range(n_passes):
         t0 = time.time()
+        outs = [pipe.run_scene(args) for args in prepped]
         total = 0
-        for args in prepped:
-            out = pipe.run_scene(args)
+        for out in outs:
             pipe.postprocess(out)
             total += 1
         elapsed = time.time() - t0

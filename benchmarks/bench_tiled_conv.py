@@ -25,7 +25,14 @@ from canonicalvoting_tpu.ops.voxelize import sparse_quantize
 
 
 def fetch(x):
-    return np.asarray(jax.device_get(x))
+    # reduce ON DEVICE first: the relay transfer path runs at ~10 MB/s, so
+    # fetching a full activation grid would dominate any timing
+    return np.asarray(jax.device_get(_red(x)))
+
+
+@jax.jit
+def _red(x):
+    return jnp.sum(x.astype(jnp.float32))
 
 
 def timeit(fn, *args, iters=10):
@@ -99,5 +106,90 @@ def main():
               f"XLA {t_xla:7.2f} ms | tiled {t_tile:7.2f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--extras" not in sys.argv:
     main()
+
+
+def main_extras():
+    """Time the remaining dense-UNet pieces: stem k5, stride-2 down conv,
+    transpose conv, the L0 elementwise mask+BN+relu chain, and the
+    group_dz tiled variant."""
+    rng = np.random.RandomState(0)
+    scene = make_scene(rng, extent=(6.0, 2.5, 7.0), n_background=50000,
+                       n_boxes=6, pts_per_box=3000)
+    coords, _ = sparse_quantize(scene.points, 0.03)
+    base, dims = dense_grid_geometry(coords)
+    flat = dense_flat_ids(coords, base, dims)
+    rel = np.stack(np.unravel_index(flat, dims), -1)
+    dtype = jnp.bfloat16
+    X, Y, Z = dims
+
+    # stem k5 3->32
+    x3 = jnp.asarray(rng.randn(X, Y, Z, 3).astype(np.float32), dtype)
+    w5 = jnp.asarray(rng.randn(125, 3, 32).astype(np.float32) * 0.1)
+    wk5 = _to_dense_kernel(w5, 5).astype(dtype)
+
+    @jax.jit
+    def stem(x_, wk_):
+        return jax.lax.conv_general_dilated(
+            x_[None], wk_, (1, 1, 1), [(2, 2)] * 3,
+            dimension_numbers=_DN, preferred_element_type=dtype)[0]
+    print(f"stem k5 3->32 XLA      {timeit(stem, x3, wk5):7.2f} ms")
+
+    tiles = jnp.asarray(occupied_tiles(rel, dims, (8, 8, 32)))
+    def tstem(x_, w_, t_):
+        return tiled_conv3d(x_, w_, t_, kernel_size=5)
+    try:
+        print(f"stem k5 3->32 tiled    {timeit(tstem, x3, w5.astype(dtype), tiles):7.2f} ms")
+    except Exception as e:
+        print("stem tiled failed:", type(e).__name__, str(e)[:200])
+
+    # down conv k2 s2 L0->L1 at 32ch
+    x32 = jnp.asarray(rng.randn(X, Y, Z, 32).astype(np.float32), dtype)
+    w2 = jnp.asarray(rng.randn(8, 32, 32).astype(np.float32) * 0.1)
+    wk2 = _to_dense_kernel(w2, 2).astype(dtype)
+
+    @jax.jit
+    def down(x_, wk_):
+        return jax.lax.conv_general_dilated(
+            x_[None], wk_, (2, 2, 2), [(0, 1)] * 3,
+            dimension_numbers=_DN, preferred_element_type=dtype)[0]
+    print(f"down k2 s2 32->32 XLA  {timeit(down, x32, wk2):7.2f} ms")
+
+    # transpose conv k2 s2 L1->L0 128->96
+    x128 = jnp.asarray(
+        rng.randn(X // 2, Y // 2, Z // 2, 128).astype(np.float32), dtype)
+    wt = jnp.asarray(rng.randn(8, 128, 96).astype(np.float32) * 0.1)
+    wkt = _to_dense_kernel(wt, 2).astype(dtype)
+
+    @jax.jit
+    def up(x_, wk_):
+        return jax.lax.conv_transpose(
+            x_[None], wk_[::-1, ::-1, ::-1], (2, 2, 2), "VALID",
+            dimension_numbers=_DN, preferred_element_type=dtype)[0]
+    print(f"convtr k2 128->96 XLA  {timeit(up, x128, wkt):7.2f} ms")
+
+    # L0 elementwise chain at 96ch: mask -> BN affine -> relu
+    x96 = jnp.asarray(rng.randn(X, Y, Z, 96).astype(np.float32), dtype)
+    occ = jnp.asarray((rng.rand(X, Y, Z, 1) < 0.01).astype(np.float32))
+    g = jnp.asarray(rng.rand(96).astype(np.float32))
+    b = jnp.asarray(rng.rand(96).astype(np.float32))
+
+    @jax.jit
+    def chain(x_, occ_, g_, b_):
+        out = (x_.astype(jnp.float32) * g_) * occ_ + b_ * occ_
+        return jnp.maximum(out, 0.0).astype(x_.dtype)
+    print(f"L0 mask+BN+relu 96ch   {timeit(chain, x96, occ, g, b):7.2f} ms")
+
+    # group_dz tiled variants
+    for cin, cout in [(96, 96), (128, 96)]:
+        xx = jnp.asarray(rng.randn(X, Y, Z, cin).astype(np.float32), dtype)
+        ww = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1,
+                         dtype)
+        def tg(x_, w_, t_):
+            return tiled_conv3d(x_, w_, t_, group_dz=True)
+        print(f"tiled group_dz {cin}->{cout} {timeit(tg, xx, ww, tiles):7.2f} ms")
+
+
+if __name__ == "__main__" and "--extras" in sys.argv:
+    main_extras()

@@ -83,14 +83,19 @@ class DetectionPipeline:
     # gather-form gather-GEMM path; "auto" = dense on TPU, sparse elsewhere
     # (dense Conv3D compiles/runs poorly on CPU). Same parameters either way.
     backbone: str = "auto"
+    # "tiled" routes the dense path's stride-1 k=3/5 convs through the Pallas
+    # occupied-tile kernel (ops/pallas/tiled_conv.py); "xla" keeps
+    # lax.conv_general_dilated; "auto" = tiled on TPU.
+    conv_impl: str = "auto"
 
     def __post_init__(self):
         if self.peel is None:
             self.peel = PeelConfig(res=self.res)
+        on_tpu = jax.default_backend() == "tpu"
         if self.backbone == "auto":
-            self.backbone = (
-                "dense" if jax.default_backend() == "tpu" else "sparse"
-            )
+            self.backbone = "dense" if on_tpu else "sparse"
+        if self.conv_impl == "auto":
+            self.conv_impl = "tiled" if on_tpu else "xla"
 
     # ------------------------------------------------------------------
     @functools.cached_property
@@ -103,6 +108,7 @@ class DetectionPipeline:
             block=m.block, layers=m.layers, planes=m.planes,
             init_dim=m.init_dim, stem_kernel=m.stem_kernel,
             compute_dtype=m.compute_dtype, bn_axis=m.bn_axis,
+            conv_impl=self.conv_impl,
         )
 
     @functools.cached_property
@@ -150,9 +156,11 @@ class DetectionPipeline:
         if backbone == "dense":
 
             @functools.partial(jax.jit, static_argnames=("dense_dims",))
-            def backbone_fn(variables, feats, flat_idx, valid, dense_dims):
+            def backbone_fn(variables, feats, flat_idx, valid, dense_dims,
+                            tiles=None):
                 return dense_model.apply(
-                    variables, feats, flat_idx, valid, dense_dims, False
+                    variables, feats, flat_idx, valid, dense_dims, False,
+                    tiles=tiles,
                 )
 
             return backbone_fn
@@ -192,19 +200,24 @@ class DetectionPipeline:
             from canonicalvoting_tpu.data.dense_prep import (
                 dense_flat_ids,
                 dense_grid_geometry,
+                level_tiles,
             )
 
             base, dense_dims = dense_grid_geometry(coords)
             flat = np.full((cap,), -1, np.int32)
             flat[:n] = dense_flat_ids(coords, base, dense_dims)
+            tiles = (
+                level_tiles(coords, base, dense_dims)
+                if self.conv_impl != "xla" else None
+            )
             # pre-stage on device: per-call numpy->device uploads through
             # the transfer path cost ~40-100 ms each (async here, so they
             # overlap host prep of the next scene)
-            feats, flat, valid, coords_w = jax.device_put(
-                (feats, flat, valid, coords_w)
+            feats, flat, valid, coords_w, tiles = jax.device_put(
+                (feats, flat, valid, coords_w, tiles)
             )
             return ("dense", feats, flat, valid, coords_w, grid_shape,
-                    dense_dims)
+                    dense_dims, tiles)
 
         bcoords = batched_coordinates([coords])
         pyr = build_pyramid(
@@ -229,9 +242,11 @@ class DetectionPipeline:
         """Device pass on prepare_scene/prepare_quantized output."""
         kind = args[0]
         if kind == "dense":
-            _, feats, flat, valid, coords_w, grid_shape, dense_dims = args
+            (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
+             tiles) = args
             out = self._backbone_fn(
-                self.variables, feats, flat, valid, tuple(dense_dims)
+                self.variables, feats, flat, valid, tuple(dense_dims),
+                tiles=tiles,
             )
             return self._tail_fn(out, coords_w, valid, grid_shape)
         _, feats, pyramid, coords_w, grid_shape = args

@@ -99,7 +99,14 @@ class DenseBatchNorm(nn.Module):
 
 
 class DenseConv(nn.Module):
-    """Dense conv layer storing the sparse-format (K, Cin, Cout) kernel."""
+    """Dense conv layer storing the sparse-format (K, Cin, Cout) kernel.
+
+    ``conv_impl`` selects the stride-1 odd-k execution path: "xla"
+    (lax.conv_general_dilated over the full grid) or "tiled"/
+    "tiled_interpret" (the Pallas occupied-tile kernel,
+    ops/pallas/tiled_conv.py; requires ``tiles`` at call time). Strided,
+    transposed and 1x1 convs always take the XLA path.
+    """
 
     in_channels: int
     out_channels: int
@@ -108,9 +115,10 @@ class DenseConv(nn.Module):
     transpose: bool = False
     use_bias: bool = False
     compute_dtype: str = "bfloat16"
+    conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tiles=None):
         k = self.kernel_size
         w = self.param(
             "kernel", kernel_init, (k ** 3, self.in_channels, self.out_channels)
@@ -124,6 +132,19 @@ class DenseConv(nn.Module):
         # dominant traffic (MXU accumulation is f32 internally either way)
         pe = jnp.bfloat16 if bf16 else jnp.float32
         xc = x.astype(dt)
+        # k=5 (the stem) stays on XLA: 125 unrolled taps overflow scoped
+        # VMEM in the Mosaic kernel (40 MB stack vs 16 MB limit)
+        if (tiles is not None and self.conv_impl != "xla" and k == 3
+                and self.stride == 1 and not self.transpose):
+            from canonicalvoting_tpu.ops.pallas.tiled_conv import tiled_conv3d
+
+            out = tiled_conv3d(
+                xc[0], w.astype(dt), tiles, kernel_size=k,
+                interpret=(self.conv_impl == "tiled_interpret"),
+            )[None]
+            if b is not None:
+                out = out + b
+            return out
         if k == 1:
             out = jax.lax.dot_general(
                 xc.reshape(-1, self.in_channels),
@@ -163,17 +184,20 @@ class DenseBasicBlock(nn.Module):
     planes: int
     compute_dtype: str = "bfloat16"
     bn_axis: str = ""
+    conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, occ, train: bool, momentum=0.1):
+    def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None):
         out = DenseConv(self.in_channels, self.planes, 3,
-                        compute_dtype=self.compute_dtype, name="conv1")(x)
+                        compute_dtype=self.compute_dtype,
+                        conv_impl=self.conv_impl, name="conv1")(x, tiles)
         out = out * occ
         out = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
                              name="norm1")(out, occ, train, momentum)
         out = nn.relu(out)
         out = DenseConv(self.planes, self.planes, 3,
-                        compute_dtype=self.compute_dtype, name="conv2")(out)
+                        compute_dtype=self.compute_dtype,
+                        conv_impl=self.conv_impl, name="conv2")(out, tiles)
         out = out * occ
         out = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
                              name="norm2")(out, occ, train, momentum)
@@ -194,9 +218,10 @@ class DenseBottleneck(nn.Module):
     planes: int
     compute_dtype: str = "bfloat16"
     bn_axis: str = ""
+    conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, occ, train: bool, momentum=0.1):
+    def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None):
         e = self.expansion
         out = DenseConv(self.in_channels, self.planes, 1,
                         compute_dtype=self.compute_dtype, name="conv1")(x)
@@ -204,7 +229,8 @@ class DenseBottleneck(nn.Module):
                              name="norm1")(out, occ, train, momentum)
         out = nn.relu(out)
         out = DenseConv(self.planes, self.planes, 3,
-                        compute_dtype=self.compute_dtype, name="conv2")(out)
+                        compute_dtype=self.compute_dtype,
+                        conv_impl=self.conv_impl, name="conv2")(out, tiles)
         out = out * occ
         out = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
                              name="norm2")(out, occ, train, momentum)
@@ -245,21 +271,27 @@ class DenseMinkUNet(nn.Module):
     stem_kernel: int = 5
     compute_dtype: str = "bfloat16"
     bn_axis: str = ""
+    # "xla" or "tiled": stride-1 k=3/5 convs via the Pallas occupied-tile
+    # kernel when per-level tiles are passed to __call__
+    conv_impl: str = "xla"
 
-    def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom):
+    def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
+                tiles=None):
         blk = _DENSE_BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
         for j in range(n_blocks):
             x = blk(ch, planes, compute_dtype=self.compute_dtype,
-                    bn_axis=self.bn_axis, name=f"{name}_{j}")(
-                x, occ, train, mom)
+                    bn_axis=self.bn_axis, conv_impl=self.conv_impl,
+                    name=f"{name}_{j}")(
+                x, occ, train, mom, tiles=tiles)
             ch = planes * exp
         return x, ch
 
     @nn.compact
     def __call__(self, feats, flat_idx, valid, grid_dims: Tuple[int, int, int],
-                 train: bool = False, bn_momentum=0.1):
+                 train: bool = False, bn_momentum=0.1, tiles=None):
+        tiles = tiles or {}
         dx, dy, dz = grid_dims
         assert dx % 16 == 0 and dy % 16 == 0 and dz % 16 == 0
         mom = bn_momentum
@@ -287,7 +319,8 @@ class DenseMinkUNet(nn.Module):
 
         # --- stem
         x = DenseConv(self.in_channels, self.init_dim, self.stem_kernel,
-                      compute_dtype=dt, name="conv0p1s1")(x)
+                      compute_dtype=dt, conv_impl=self.conv_impl,
+                      name="conv0p1s1")(x, tiles.get(0))
         x = x * occ[0]
         x = DenseBatchNorm(self.init_dim, axis_name=self.bn_axis,
                            name="bn0")(x, occ[0], train, mom)
@@ -305,7 +338,7 @@ class DenseMinkUNet(nn.Module):
                                name=f"bn{i + 1}")(x, occ[i + 1], train, mom)
             x = nn.relu(x)
             x, ch = self._blocks(f"block{i + 1}", x, occ[i + 1], ch, pl_[i],
-                                 ly[i], train, mom)
+                                 ly[i], train, mom, tiles=tiles.get(i + 1))
             skips.append(x)
 
         # --- decoder
@@ -324,7 +357,7 @@ class DenseMinkUNet(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             ch = pl_[4 + d] + skip_chs[lvl]
             x, ch = self._blocks(f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d],
-                                 ly[4 + d], train, mom)
+                                 ly[4 + d], train, mom, tiles=tiles.get(lvl))
 
         x = DenseConv(ch, self.out_channels, 1, use_bias=True,
                       compute_dtype=dt, name="final")(x)

@@ -106,3 +106,31 @@ def test_dense_valid_mask(rng):
         vs, feats_raw[:k], flat[:k], valid[:k], dims, False
     ))
     np.testing.assert_allclose(out[:k], out2, atol=1e-4)
+
+
+def test_dense_tiled_matches_xla(rng):
+    """conv_impl="tiled" (Pallas occupied-tile kernel, interpret mode on CPU)
+    must reproduce the XLA dense path exactly at the valid rows."""
+    from canonicalvoting_tpu.data.dense_prep import level_tiles
+
+    coords, feats_raw = _scene(rng, n_pts=300)
+    n = len(coords)
+    base, dims = dense_grid_geometry(coords)
+    flat = dense_flat_ids(coords, base, dims)
+    valid = np.ones((n,), np.float32)
+
+    kw = dict(in_channels=3, out_channels=8, block="basic",
+              layers=(1, 1, 1, 1, 1, 1, 1, 1), compute_dtype="float32")
+    m_xla = DenseMinkUNet(conv_impl="xla", **kw)
+    variables = m_xla.init(jax.random.PRNGKey(1), feats_raw, flat, valid,
+                           dims, False)
+    out_xla = np.asarray(m_xla.apply(variables, feats_raw, flat, valid,
+                                     dims, False))
+
+    tiles = level_tiles(coords, base, dims)
+    assert 0 in tiles
+    m_tiled = DenseMinkUNet(conv_impl="tiled_interpret", **kw)
+    out_tiled = np.asarray(m_tiled.apply(
+        variables, feats_raw, flat, valid, dims, False, tiles=tiles
+    ))
+    np.testing.assert_allclose(out_tiled, out_xla, atol=2e-3, rtol=1e-3)
