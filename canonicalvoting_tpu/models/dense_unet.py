@@ -61,7 +61,8 @@ class DenseBatchNorm(nn.Module):
     axis_name: str = ""
 
     @nn.compact
-    def __call__(self, x, occ, train: bool, momentum=0.1):
+    def __call__(self, x, occ, train: bool, momentum=0.1,
+                 return_affine: bool = False):
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
         )
@@ -70,6 +71,14 @@ class DenseBatchNorm(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if return_affine:
+            # inference-mode affine folding (y = x*A + B, to be fused into a
+            # conv epilogue); only valid with running stats
+            assert not train
+            inv = jax.lax.rsqrt(ra_var.value + self.eps)
+            a = inv * scale
+            return a, bias - ra_mean.value * a
 
         if train:
             xf = x.astype(jnp.float32)
@@ -118,7 +127,8 @@ class DenseConv(nn.Module):
     conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, tiles=None):
+    def __call__(self, x, tiles=None, scale=None, bias=None, occ=None,
+                 residual=None, relu_out: bool = False):
         k = self.kernel_size
         w = self.param(
             "kernel", kernel_init, (k ** 3, self.in_channels, self.out_channels)
@@ -138,13 +148,17 @@ class DenseConv(nn.Module):
                 and self.stride == 1 and not self.transpose):
             from canonicalvoting_tpu.ops.pallas.tiled_conv import tiled_conv3d
 
+            assert b is None, "fused tiled conv folds bias via scale/bias"
             out = tiled_conv3d(
                 xc[0], w.astype(dt), tiles, kernel_size=k,
+                scale=scale, bias=bias, occ=occ,
+                residual=None if residual is None else residual[0],
+                relu_out=relu_out,
                 interpret=(self.conv_impl == "tiled_interpret"),
             )[None]
-            if b is not None:
-                out = out + b
             return out
+        assert scale is None and occ is None and residual is None \
+            and not relu_out, "epilogue fusion requires the tiled path"
         if k == 1:
             out = jax.lax.dot_general(
                 xc.reshape(-1, self.in_channels),
@@ -187,29 +201,50 @@ class DenseBasicBlock(nn.Module):
     conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None):
-        out = DenseConv(self.in_channels, self.planes, 3,
-                        compute_dtype=self.compute_dtype,
-                        conv_impl=self.conv_impl, name="conv1")(x, tiles)
+    def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None,
+                 occp=None):
+        conv1 = DenseConv(self.in_channels, self.planes, 3,
+                          compute_dtype=self.compute_dtype,
+                          conv_impl=self.conv_impl, name="conv1")
+        norm1 = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
+                               name="norm1")
+        conv2 = DenseConv(self.planes, self.planes, 3,
+                          compute_dtype=self.compute_dtype,
+                          conv_impl=self.conv_impl, name="conv2")
+        norm2 = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
+                               name="norm2")
+
+        fused = (tiles is not None and occp is not None and not train
+                 and self.conv_impl != "xla")
+
+        def residual():
+            if self.in_channels != self.planes:
+                res = DenseConv(self.in_channels, self.planes, 1,
+                                compute_dtype=self.compute_dtype,
+                                name="downsample_conv")(x)
+                res = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
+                                     name="downsample_norm")(
+                    res, occ, train, momentum)
+                return res
+            return x
+
+        if fused:
+            # inference path: BN folded to per-channel affine + occupancy
+            # mask + residual add + relu run in the conv kernels' epilogues
+            a1, b1 = norm1(None, None, False, return_affine=True)
+            out = conv1(x, tiles, scale=a1, bias=b1, occ=occp, relu_out=True)
+            a2, b2 = norm2(None, None, False, return_affine=True)
+            return conv2(out, tiles, scale=a2, bias=b2, occ=occp,
+                         residual=residual(), relu_out=True)
+
+        out = conv1(x, tiles)
         out = out * occ
-        out = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
-                             name="norm1")(out, occ, train, momentum)
+        out = norm1(out, occ, train, momentum)
         out = nn.relu(out)
-        out = DenseConv(self.planes, self.planes, 3,
-                        compute_dtype=self.compute_dtype,
-                        conv_impl=self.conv_impl, name="conv2")(out, tiles)
+        out = conv2(out, tiles)
         out = out * occ
-        out = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
-                             name="norm2")(out, occ, train, momentum)
-        if self.in_channels != self.planes:
-            res = DenseConv(self.in_channels, self.planes, 1,
-                            compute_dtype=self.compute_dtype,
-                            name="downsample_conv")(x)
-            res = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
-                                 name="downsample_norm")(res, occ, train, momentum)
-        else:
-            res = x
-        return nn.relu(out + res)
+        out = norm2(out, occ, train, momentum)
+        return nn.relu(out + residual())
 
 
 class DenseBottleneck(nn.Module):
@@ -221,20 +256,30 @@ class DenseBottleneck(nn.Module):
     conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None):
+    def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None,
+                 occp=None):
         e = self.expansion
+        fused = (tiles is not None and occp is not None and not train
+                 and self.conv_impl != "xla")
         out = DenseConv(self.in_channels, self.planes, 1,
                         compute_dtype=self.compute_dtype, name="conv1")(x)
         out = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
                              name="norm1")(out, occ, train, momentum)
         out = nn.relu(out)
-        out = DenseConv(self.planes, self.planes, 3,
-                        compute_dtype=self.compute_dtype,
-                        conv_impl=self.conv_impl, name="conv2")(out, tiles)
-        out = out * occ
-        out = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
-                             name="norm2")(out, occ, train, momentum)
-        out = nn.relu(out)
+        conv2 = DenseConv(self.planes, self.planes, 3,
+                          compute_dtype=self.compute_dtype,
+                          conv_impl=self.conv_impl, name="conv2")
+        norm2 = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
+                               name="norm2")
+        if fused:
+            a2, b2 = norm2(None, None, False, return_affine=True)
+            out = conv2(out, tiles, scale=a2, bias=b2, occ=occp,
+                        relu_out=True)
+        else:
+            out = conv2(out, tiles)
+            out = out * occ
+            out = norm2(out, occ, train, momentum)
+            out = nn.relu(out)
         out = DenseConv(self.planes, self.planes * e, 1,
                         compute_dtype=self.compute_dtype, name="conv3")(out)
         out = DenseBatchNorm(self.planes * e, axis_name=self.bn_axis,
@@ -276,7 +321,7 @@ class DenseMinkUNet(nn.Module):
     conv_impl: str = "xla"
 
     def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
-                tiles=None):
+                tiles=None, occp=None):
         blk = _DENSE_BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
@@ -284,7 +329,7 @@ class DenseMinkUNet(nn.Module):
             x = blk(ch, planes, compute_dtype=self.compute_dtype,
                     bn_axis=self.bn_axis, conv_impl=self.conv_impl,
                     name=f"{name}_{j}")(
-                x, occ, train, mom, tiles=tiles)
+                x, occ, train, mom, tiles=tiles, occp=occp)
             ch = planes * exp
         return x, ch
 
@@ -316,6 +361,13 @@ class DenseMinkUNet(nn.Module):
             occ.append(
                 nn.max_pool(occ[-1], (2, 2, 2), strides=(2, 2, 2))
             )
+        # per-tile packed occupancy for the fused tiled-conv epilogue
+        occp = {}
+        if not train and self.conv_impl != "xla":
+            from canonicalvoting_tpu.ops.pallas.tiled_conv import pack_occ
+
+            for lvl, t in tiles.items():
+                occp[lvl] = pack_occ(occ[lvl][0, ..., 0], t)
 
         # --- stem
         x = DenseConv(self.in_channels, self.init_dim, self.stem_kernel,
@@ -338,7 +390,8 @@ class DenseMinkUNet(nn.Module):
                                name=f"bn{i + 1}")(x, occ[i + 1], train, mom)
             x = nn.relu(x)
             x, ch = self._blocks(f"block{i + 1}", x, occ[i + 1], ch, pl_[i],
-                                 ly[i], train, mom, tiles=tiles.get(i + 1))
+                                 ly[i], train, mom, tiles=tiles.get(i + 1),
+                                 occp=occp.get(i + 1))
             skips.append(x)
 
         # --- decoder
@@ -357,13 +410,16 @@ class DenseMinkUNet(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             ch = pl_[4 + d] + skip_chs[lvl]
             x, ch = self._blocks(f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d],
-                                 ly[4 + d], train, mom, tiles=tiles.get(lvl))
+                                 ly[4 + d], train, mom, tiles=tiles.get(lvl),
+                                 occp=occp.get(lvl))
 
-        x = DenseConv(ch, self.out_channels, 1, use_bias=True,
-                      compute_dtype=dt, name="final")(x)
-        rows = x.reshape(n_cells, self.out_channels).astype(jnp.float32)
-        out = rows[jnp.clip(flat_idx, 0, n_cells - 1)]
-        return jnp.where(vmask[:, None], out, 0.0)
+        # gather the point rows FIRST, then apply the 1x1 head to just those
+        # rows — the head on the full grid would be a (n_cells, ch) matmul
+        # plus a full-grid write for values 99% of which are discarded
+        rows_in = x.reshape(n_cells, ch)[jnp.clip(flat_idx, 0, n_cells - 1)]
+        out = DenseConv(ch, self.out_channels, 1, use_bias=True,
+                        compute_dtype=dt, name="final")(rows_in)
+        return jnp.where(vmask[:, None], out.astype(jnp.float32), 0.0)
 
 
 def DenseMinkUNet34C(in_channels, out_channels, **kw):

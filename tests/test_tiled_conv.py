@@ -46,3 +46,40 @@ def test_tiled_conv_matches_dense_in_occupied_tiles(rng, k, group_dz):
                     sl = (slice(i * 8, i * 8 + 8), slice(j * 8, j * 8 + 8),
                           slice(k * 32, k * 32 + 32))
                     assert np.all(got[sl] == 0)
+
+
+def test_tiled_conv_fused_epilogue(rng):
+    """affine + occupancy mask + residual + relu epilogue == explicit ops."""
+    from canonicalvoting_tpu.ops.pallas.tiled_conv import pack_occ
+
+    X, Y, Z, cin, cout = 16, 8, 32, 8, 8
+    x = np.zeros((X, Y, Z, cin), np.float32)
+    occ_cells = rng.randint(0, [X, Y, Z], (150, 3))
+    x[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = rng.randn(
+        150, cin).astype(np.float32)
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.2
+    scale = rng.rand(cout).astype(np.float32) + 0.5
+    bias = rng.randn(cout).astype(np.float32)
+    res = rng.randn(X, Y, Z, cout).astype(np.float32)
+    occ_grid = np.zeros((X, Y, Z), np.float32)
+    occ_grid[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = 1.0
+
+    tiles = jnp.asarray(occupied_tiles(occ_cells, (X, Y, Z), (8, 8, 32)))
+    occp = pack_occ(jnp.asarray(occ_grid), tiles)
+
+    got = np.asarray(tiled_conv3d(
+        jnp.asarray(x), jnp.asarray(w), tiles,
+        scale=jnp.asarray(scale), bias=jnp.asarray(bias), occ=occp,
+        residual=jnp.asarray(res), relu_out=True, interpret=True,
+    ))
+
+    plain = np.asarray(tiled_conv3d(
+        jnp.asarray(x), jnp.asarray(w), tiles, interpret=True,
+    ))
+    want = np.maximum((plain * scale + bias) * occ_grid[..., None] + res, 0.0)
+
+    # compare only inside occupied tiles (outside, got is 0 but want = relu(res))
+    for t in np.asarray(tiles):
+        sl = (slice(t[0] * 8, t[0] * 8 + 8), slice(t[1] * 8, t[1] * 8 + 8),
+              slice(t[2] * 32, t[2] * 32 + 32))
+        np.testing.assert_allclose(got[sl], want[sl], atol=1e-4)
