@@ -70,8 +70,8 @@ def _axis_deltas(grid_shape, cand, res):
 
 def peel_boxes(
     grid_obj: jnp.ndarray,
-    grid_rot: jnp.ndarray,
-    grid_scale: jnp.ndarray,
+    grid_rot: Optional[jnp.ndarray],
+    grid_scale: Optional[jnp.ndarray],
     points: jnp.ndarray,
     xyz_pred: jnp.ndarray,
     prob_pred: jnp.ndarray,
@@ -79,6 +79,7 @@ def peel_boxes(
     corner: jnp.ndarray,
     config: PeelConfig,
     valid: Optional[jnp.ndarray] = None,
+    rot_scale_fn=None,
 ):
     """Peel oriented boxes off a vote grid.
 
@@ -93,6 +94,9 @@ def peel_boxes(
         (reference eval_joint.py:201,206).
       config: static decoding constants.
       valid: optional (N,) point validity mask for padded inputs.
+      rot_scale_fn: optional ``cand (3,) int32 -> (rot_vec (2,), scale (3,))``
+        lazy sampler (ops.hough_voting.vote_stats_at_cell); when given,
+        grid_rot/grid_scale may be None and only the obj grid is needed.
 
     Returns dict with fixed-size arrays:
       boxes (max_boxes, 8, 3) world corners, scores (max_boxes,),
@@ -101,8 +105,9 @@ def peel_boxes(
     cfg = config
     res = jnp.float32(cfg.res)
     grid_obj = jnp.asarray(grid_obj)
-    grid_rot = jnp.asarray(grid_rot)
-    grid_scale = jnp.asarray(grid_scale)
+    if rot_scale_fn is None:
+        grid_rot = jnp.asarray(grid_rot)
+        grid_scale = jnp.asarray(grid_scale)
     points = jnp.asarray(points)
     xyz_pred = jnp.asarray(xyz_pred)
     prob_pred = jnp.asarray(prob_pred)
@@ -130,11 +135,14 @@ def peel_boxes(
 
         cand_world = corner + res * cand.astype(jnp.float32)
 
-        rot_vec = grid_rot[cand[0], cand[1], cand[2]]
+        if rot_scale_fn is None:
+            rot_vec = grid_rot[cand[0], cand[1], cand[2]]
+            scale_full = grid_scale[cand[0], cand[1], cand[2]]
+        else:
+            rot_vec, scale_full = rot_scale_fn(cand)
         rot = jnp.arctan2(rot_vec[1], rot_vec[0])
         c, s = jnp.cos(rot), jnp.sin(rot)
         # rot_mat_full (eval_joint.py:215): [[c,0,-s],[0,1,0],[s,0,c]]
-        scale_full = grid_scale[cand[0], cand[1], cand[2]]
         safe_scale = jnp.where(jnp.abs(scale_full) < 1e-12, 1e-12, scale_full)
 
         # --- grid elimination -------------------------------------------

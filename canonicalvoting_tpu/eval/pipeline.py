@@ -27,7 +27,14 @@ from canonicalvoting_tpu.data.geometry import IDX2NAME, NAME2CATNAME, NCLASSES
 from canonicalvoting_tpu.decode.peeling import PeelConfig, peel_boxes
 from canonicalvoting_tpu.metrics.ap import nms as nms_host
 from canonicalvoting_tpu.ops.coords import PyramidSpec, build_pyramid
-from canonicalvoting_tpu.ops.hough_voting import hough_voting, round_grid_shape
+from canonicalvoting_tpu.ops.hough_voting import (
+    compute_corners,
+    grid_dims_from_corners,
+    hough_voting,
+    hough_voting_obj,
+    round_grid_shape,
+    vote_stats_at_cell,
+)
 from canonicalvoting_tpu.ops.sparse_conv import valid_row_mask
 from canonicalvoting_tpu.ops.voxelize import batched_coordinates, sparse_quantize
 
@@ -90,6 +97,10 @@ class DetectionPipeline:
     # occupied-tile kernel (ops/pallas/tiled_conv.py); "xla" keeps
     # lax.conv_general_dilated; "auto" = tiled on TPU.
     conv_impl: str = "auto"
+    # splat only the obj vote channel and sample rot/scale lazily at the
+    # peeled argmax cells (vote_stats_at_cell) — same math, ~6x less vote
+    # MXU work. True/False, or "auto" (on, except interpret-mode tests).
+    lazy_rot_scale: object = "auto"
 
     def __post_init__(self):
         if self.peel is None:
@@ -99,6 +110,8 @@ class DetectionPipeline:
             self.backbone = "dense" if on_tpu else "sparse"
         if self.conv_impl == "auto":
             self.conv_impl = "tiled" if on_tpu else "xla"
+        if self.lazy_rot_scale == "auto":
+            self.lazy_rot_scale = True
 
     # ------------------------------------------------------------------
     @functools.cached_property
@@ -129,19 +142,42 @@ class DetectionPipeline:
         num_rots = self.num_rots
         log_scale = self.log_scale
         hv_method = self.hv_method
+        lazy = self.lazy_rot_scale
 
         @functools.partial(jax.jit, static_argnames=("grid_shape",))
         def tail(out, coords_w, valid, grid_shape):
             xyz, scale, class_pred, prob = slice_joint_heads(out)
             if log_scale:
                 scale = jnp.exp(scale)  # (:186-188)
+            corners = compute_corners(coords_w, valid)
+            corner = corners[0]
+            if lazy:
+                # obj-only dense splat (1/6 the matmul width); rot/scale are
+                # sampled lazily at the <= max_boxes cells the peeler visits
+                go = hough_voting_obj(
+                    coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
+                    grid_shape=grid_shape, corners=corners, valid=valid,
+                    method=hv_method,
+                )
+                dims = jnp.minimum(
+                    grid_dims_from_corners(corners, res),
+                    jnp.asarray(grid_shape, jnp.int32),
+                )
+
+                def rot_scale_fn(cand):
+                    return vote_stats_at_cell(
+                        coords_w, xyz, scale, prob, corner, dims, res,
+                        num_rots, cand, valid=valid,
+                    )
+
+                return peel_boxes(
+                    go, None, None, coords_w, xyz, prob, class_pred, corner,
+                    peel_cfg, valid=valid, rot_scale_fn=rot_scale_fn,
+                )
             go, gr, gs = hough_voting(
                 coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
-                grid_shape=grid_shape, valid=valid, method=hv_method,
-            )
-            corner = jnp.min(
-                jnp.where(valid[:, None] > 0, coords_w, jnp.float32(3e38)),
-                axis=0,
+                grid_shape=grid_shape, corners=corners, valid=valid,
+                method=hv_method,
             )
             return peel_boxes(
                 go, gr, gs, coords_w, xyz, prob, class_pred, corner, peel_cfg,

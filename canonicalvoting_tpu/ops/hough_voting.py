@@ -422,3 +422,99 @@ class HoughVoting:
             res=self.res, num_rots=self.num_rots, grid_shape=grid_shape,
             corners=corners, valid=valid, rot_chunk=self.rot_chunk,
         )
+
+
+def vote_stats_at_cell(points, xyz, scale, obj, corner, dims, res: float,
+                       num_rots: int, cell, valid=None):
+    """Normalized rot/scale vote channels at ONE grid cell, computed lazily.
+
+    Returns (rot_vec (2,), scale_vec (3,)) — exactly what the dense vote
+    grids would hold at ``cell`` (hv_cuda_kernel.cu:61-93 accumulation +
+    :100-119 normalization) — without materializing those grids. The box
+    peeler samples rot/scale only at <= max_boxes argmax cells, so with this
+    the dense splat can compute the obj channel alone (6x less MXU work);
+    see eval/pipeline.py.
+
+    The trilinear 2-corner splat weight of a vote at ``u`` onto cell ``c``
+    is the tent function max(0, 1 - |u - c|) per axis.
+    """
+    res = jnp.float32(res)
+    thetas = jnp.arange(num_rots, dtype=jnp.float32) * jnp.float32(
+        _TWO_PI / num_rots
+    )
+    c = jnp.cos(thetas)[None, :]  # (1, R)
+    s = jnp.sin(thetas)[None, :]
+    corr = xyz * scale
+    cx, cz = corr[:, 0:1], corr[:, 2:3]
+    # offset = -Rot_y(theta) @ corr (hv_cuda_kernel.cu:38-39)
+    ux = (points[:, 0:1] - cx * c + cz * s - corner[0]) / res   # (N, R)
+    uy = (points[:, 1] - corr[:, 1] - corner[1]) / res          # (N,)
+    uz = (points[:, 2:3] - cx * s - cz * c - corner[2]) / res
+    df = dims.astype(jnp.float32)
+    ok = (
+        (ux >= 0.0) & (ux < df[0] - 1.0)
+        & (uz >= 0.0) & (uz < df[2] - 1.0)
+        & ((uy >= 0.0) & (uy < df[1] - 1.0))[:, None]
+    )
+    cellf = cell.astype(jnp.float32)
+    tx = jnp.maximum(1.0 - jnp.abs(ux - cellf[0]), 0.0)
+    ty = jnp.maximum(1.0 - jnp.abs(uy - cellf[1]), 0.0)[:, None]
+    tz = jnp.maximum(1.0 - jnp.abs(uz - cellf[2]), 0.0)
+    w = obj[:, None] * tx * ty * tz * ok.astype(jnp.float32)
+    if valid is not None:
+        w = w * (valid > 0).astype(jnp.float32)[:, None]
+    denom = jnp.sum(w) + 1e-7
+    rot_vec = jnp.stack([jnp.sum(w * c), jnp.sum(w * s)]) / denom
+    scale_vec = jnp.sum(jnp.sum(w, axis=1)[:, None] * scale, axis=0) / denom
+    return rot_vec, scale_vec
+
+
+def hough_voting_obj(
+    points: jnp.ndarray,
+    xyz: jnp.ndarray,
+    scale: jnp.ndarray,
+    obj: jnp.ndarray,
+    *,
+    res: float,
+    num_rots: int,
+    grid_shape: Tuple[int, int, int],
+    corners: Optional[jnp.ndarray] = None,
+    valid: Optional[jnp.ndarray] = None,
+    rot_chunk: int = 4,
+    method: str = "auto",
+) -> jnp.ndarray:
+    """Objectness vote grid ONLY (no rot/scale channels).
+
+    Inference fast path: the plane-splat kernel runs with a single channel
+    (1/6 the matmul width); pair with ``vote_stats_at_cell`` for the few
+    cells the decoder actually samples. Forward-only (no VJP) — training
+    code uses ``hough_voting``.
+    """
+    if method == "auto":
+        gz_ok = grid_shape[2] % 128 == 0
+        method = (
+            "pallas" if (jax.default_backend() == "tpu" and gz_ok) else "xla"
+        )
+    if valid is not None:
+        valid = valid.astype(points.dtype)
+    if corners is None:
+        corners = compute_corners(points, valid)
+    else:
+        corners = jnp.asarray(corners, points.dtype)
+    dims = grid_dims_from_corners(corners, res)
+    dims = jnp.minimum(dims, jnp.asarray(grid_shape, jnp.int32))
+    if method in ("pallas", "pallas_interpret"):
+        from canonicalvoting_tpu.ops.pallas.hv_splat import hv_splat_pallas
+
+        raw = hv_splat_pallas(
+            points, xyz, scale, obj, corners[0], dims, res,
+            num_rots=num_rots, grid_shape=grid_shape, valid=valid,
+            channels=1, interpret=(method == "pallas_interpret"),
+        )
+        return raw[..., 0]
+    go, _, _ = hough_voting(
+        points, xyz, scale, obj, res=res, num_rots=num_rots,
+        grid_shape=grid_shape, corners=corners, valid=valid,
+        rot_chunk=rot_chunk, method="xla",
+    )
+    return go

@@ -56,7 +56,7 @@ _NCOLS = 128  # padded to full lane width for aligned DMA slices
 
 def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
             *, C: int, Rc: int, n_rot_steps: int, num_rots: int,
-            gx: int, gz: int):
+            gx: int, gz: int, channels: int = 6):
     j = pl.program_id(0)
     start = starts_ref[j]
     end = ends_ref[j]
@@ -65,7 +65,7 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
     dtheta = jnp.float32(_TWO_PI / num_rots)
     jf = j.astype(jnp.float32)
 
-    out_ref[0] = jnp.zeros((6 * gx, gz), jnp.float32)
+    out_ref[0] = jnp.zeros((channels * gx, gz), jnp.float32)
 
     n = jnp.maximum(end - start, 0)
     n_chunks = pl.cdiv(n, C)
@@ -131,28 +131,32 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
 
                 b = base * ok  # (C, 1)
                 axb = ax.astype(jnp.bfloat16)
-                # channels: [obj, obj*cos, obj*sin, obj*sx, obj*sy, obj*sz]
-                a6r = jnp.concatenate(
-                    [
-                        (b * 1.0).astype(jnp.bfloat16) * axb,
-                        (b * c).astype(jnp.bfloat16) * axb,
-                        (b * s).astype(jnp.bfloat16) * axb,
-                        (b * sx).astype(jnp.bfloat16) * axb,
-                        (b * sy).astype(jnp.bfloat16) * axb,
-                        (b * sz).astype(jnp.bfloat16) * axb,
-                    ],
-                    axis=1,
-                )  # (C, 6*gx)
+                if channels == 1:
+                    # obj-only fast path (see hough_voting_obj)
+                    a6r = b.astype(jnp.bfloat16) * axb  # (C, gx)
+                else:
+                    # channels: [obj, obj*cos, obj*sin, obj*sx, obj*sy, obj*sz]
+                    a6r = jnp.concatenate(
+                        [
+                            (b * 1.0).astype(jnp.bfloat16) * axb,
+                            (b * c).astype(jnp.bfloat16) * axb,
+                            (b * s).astype(jnp.bfloat16) * axb,
+                            (b * sx).astype(jnp.bfloat16) * axb,
+                            (b * sy).astype(jnp.bfloat16) * axb,
+                            (b * sz).astype(jnp.bfloat16) * axb,
+                        ],
+                        axis=1,
+                    )  # (C, 6*gx)
                 a_parts.append(a6r)
                 c_parts.append(czr.astype(jnp.bfloat16))
 
-            a6 = jnp.concatenate(a_parts, axis=0)   # (Rc*C, 6*gx)
+            a6 = jnp.concatenate(a_parts, axis=0)   # (Rc*C, channels*gx)
             czm = jnp.concatenate(c_parts, axis=0)  # (Rc*C, gz)
             update = jax.lax.dot_general(
                 a6, czm,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (6*gx, gz)
+            )  # (channels*gx, gz)
             out_ref[0] += update
             return 0
 
@@ -165,7 +169,7 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
 @functools.partial(
     jax.jit,
     static_argnames=("num_rots", "grid_shape", "chunk_points", "rot_chunk",
-                     "interpret"),
+                     "channels", "interpret"),
 )
 def hv_splat_pallas(
     points: jnp.ndarray,
@@ -181,15 +185,18 @@ def hv_splat_pallas(
     valid: jnp.ndarray = None,
     chunk_points: int = 128,
     rot_chunk: int = 8,
+    channels: int = 6,
     interpret: bool = False,
 ):
-    """Raw (unnormalized) 6-channel vote grid via the plane-splat kernel.
+    """Raw (unnormalized) vote grid via the plane-splat kernel.
 
     Args mirror ops.hough_voting internals: ``corner`` (3,) is the grid
     origin, ``dims`` (3,) int32 the ACTUAL grid dims (bounds test), ``res``
-    the cell size. Returns (Gx, Gy, Gz, 6) float32 raw sums
-    [obj, obj*cos, obj*sin, obj*sx, obj*sy, obj*sz].
+    the cell size. Returns (Gx, Gy, Gz, channels) float32 raw sums
+    [obj, obj*cos, obj*sin, obj*sx, obj*sy, obj*sz] (channels=6), or just
+    [obj] (channels=1 — the obj-only fast path, see hough_voting_obj).
     """
+    assert channels in (1, 6)
     gx, gy, gz = grid_shape
     assert gz % 128 == 0, "Gz must be a multiple of 128 (lane dim)"
     n = points.shape[0]
@@ -232,14 +239,14 @@ def hv_splat_pallas(
     n_rot_steps = int(np.ceil(num_rots / rot_chunk))
     kernel = functools.partial(
         _kernel, C=chunk_points, Rc=rot_chunk, n_rot_steps=n_rot_steps,
-        num_rots=num_rots, gx=gx, gz=gz,
+        num_rots=num_rots, gx=gx, gz=gz, channels=channels,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(gy,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, 6 * gx, gz), lambda j, *_: (j, 0, 0),
+            (1, channels * gx, gz), lambda j, *_: (j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -250,10 +257,10 @@ def hv_splat_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gy, 6 * gx, gz), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gy, channels * gx, gz), jnp.float32),
         interpret=interpret,
     )(starts, ends, dims_xz, data)
 
-    # (Gy, 6, Gx, Gz) -> (Gx, Gy, Gz, 6)
-    out = out.reshape(gy, 6, gx, gz)
+    # (Gy, ch, Gx, Gz) -> (Gx, Gy, Gz, ch)
+    out = out.reshape(gy, channels, gx, gz)
     return jnp.transpose(out, (2, 0, 3, 1))

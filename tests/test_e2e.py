@@ -129,3 +129,59 @@ def test_torch_convert_round_trip(rng):
     sr = norm_keys(dict(jtu.tree_flatten_with_path(ref_stats)[0]))
     sg = norm_keys(dict(jtu.tree_flatten_with_path(stats)[0]))
     assert set(sr.keys()) == set(sg.keys())
+
+
+def test_lazy_rot_scale_peel_matches_eager(rng):
+    """obj-only splat + lazy per-cell rot/scale sampling must decode the
+    same boxes as the dense-grid path."""
+    from canonicalvoting_tpu.ops.hough_voting import (
+        compute_corners,
+        grid_dims_from_corners,
+        hough_voting_obj,
+        vote_stats_at_cell,
+    )
+
+    res = 0.05
+    scene = make_scene(rng, extent=(5.0, 2.0, 5.0), n_background=12000,
+                       n_boxes=3, pts_per_box=2500)
+    coords, idx = sparse_quantize(scene.points, res)
+    points_w = coords.astype(np.float32) * res
+    xyz, scl, prob, cls = perfect_predictions(scene, points_w)
+
+    corners = np.stack([points_w.min(0), points_w.max(0)])
+    dims = ((corners[1] - corners[0]) / res).astype(np.int32) + 1
+    gshape = round_grid_shape(dims, 16)
+    cfg = PeelConfig(res=res, max_boxes=16, max_iters=48)
+
+    go, gr, gs = hough_voting(points_w, xyz, scl, prob, res=res, num_rots=60,
+                              grid_shape=gshape)
+    eager = peel_boxes(go, gr, gs, points_w, xyz, prob, cls,
+                       corners[0].astype(np.float32), cfg)
+
+    go2 = hough_voting_obj(points_w, xyz, scl, prob, res=res, num_rots=60,
+                           grid_shape=gshape)
+    import jax.numpy as jnp
+    corners_j = compute_corners(jnp.asarray(points_w), None)
+    dims_j = jnp.minimum(grid_dims_from_corners(corners_j, res),
+                         jnp.asarray(gshape, np.int32))
+
+    def rot_scale_fn(cand):
+        return vote_stats_at_cell(
+            jnp.asarray(points_w), jnp.asarray(xyz), jnp.asarray(scl),
+            jnp.asarray(prob), corners_j[0], dims_j, res, 60, cand,
+        )
+
+    lazy = peel_boxes(go2, None, None, points_w, xyz, prob, cls,
+                      corners[0].astype(np.float32), cfg,
+                      rot_scale_fn=rot_scale_fn)
+
+    n_e, n_l = int(eager["n_boxes"]), int(lazy["n_boxes"])
+    assert n_e == n_l
+    np.testing.assert_allclose(
+        np.asarray(lazy["boxes"])[:n_l], np.asarray(eager["boxes"])[:n_e],
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lazy["scores"])[:n_l], np.asarray(eager["scores"])[:n_e],
+        atol=1e-5,
+    )

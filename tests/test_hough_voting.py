@@ -202,3 +202,55 @@ def test_pallas_interpret_valid_mask(rng):
         np.asarray(got[0]), np.asarray(ref[0]),
         atol=2e-2 + 5e-3 * float(np.asarray(ref[0]).max()),
     )
+
+
+def test_vote_stats_at_cell_matches_dense_grids(rng):
+    """Lazy per-cell rot/scale sampling == the dense grids at that cell."""
+    import jax.numpy as jnp
+
+    from canonicalvoting_tpu.ops.hough_voting import (
+        compute_corners,
+        grid_dims_from_corners,
+        hough_voting,
+        hough_voting_obj,
+        vote_stats_at_cell,
+    )
+
+    n = 60
+    points = rng.uniform(0, 1.2, (n, 3)).astype(np.float32)
+    xyz = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+    scale = rng.uniform(0.1, 0.4, (n, 3)).astype(np.float32)
+    obj = rng.rand(n).astype(np.float32)
+    valid = (rng.rand(n) > 0.2).astype(np.float32)
+    gs = (48, 48, 48)
+    res = 0.05
+
+    go, gr, gsc = hough_voting(
+        jnp.asarray(points), jnp.asarray(xyz), jnp.asarray(scale),
+        jnp.asarray(obj), res=res, num_rots=24, grid_shape=gs,
+        valid=jnp.asarray(valid), method="xla",
+    )
+    go2 = hough_voting_obj(
+        jnp.asarray(points), jnp.asarray(xyz), jnp.asarray(scale),
+        jnp.asarray(obj), res=res, num_rots=24, grid_shape=gs,
+        valid=jnp.asarray(valid), method="xla",
+    )
+    np.testing.assert_allclose(np.asarray(go2), np.asarray(go), atol=1e-5)
+
+    corners = compute_corners(jnp.asarray(points), jnp.asarray(valid))
+    dims = jnp.minimum(grid_dims_from_corners(corners, res),
+                       jnp.asarray(gs, np.int32))
+    go_np = np.asarray(go)
+    # sample the densest cells (where the peeler would look)
+    flat_order = np.argsort(go_np.ravel())[::-1][:5]
+    for f in flat_order:
+        cell = np.unravel_index(f, gs)
+        rot_vec, scale_vec = vote_stats_at_cell(
+            jnp.asarray(points), jnp.asarray(xyz), jnp.asarray(scale),
+            jnp.asarray(obj), corners[0], dims, res, 24,
+            jnp.asarray(cell, np.int32), valid=jnp.asarray(valid),
+        )
+        np.testing.assert_allclose(
+            np.asarray(rot_vec), np.asarray(gr)[cell], atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(scale_vec), np.asarray(gsc)[cell], atol=2e-4, rtol=1e-3)
