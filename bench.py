@@ -12,6 +12,7 @@ fetch — block_until_ready does not block through the relay.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -66,7 +67,7 @@ def main():
     # Timed end-to-end (device path + host NMS); best pass wins.
     # Dispatches are pipelined (all scenes enqueued, then fetched in order)
     # — the serving pattern — so per-scene host round trips overlap compute.
-    n_passes = 5
+    n_passes = int(os.environ.get("BENCH_PASSES", "5"))
     best = 0.0
     for p in range(n_passes):
         t0 = time.time()

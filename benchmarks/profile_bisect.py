@@ -1,22 +1,40 @@
-"""Bisect the fused-graph overhead: time partial fusions."""
-import os, sys, time
+"""In-graph phase costs: time jit(backbone), jit(backbone+vote),
+jit(backbone+vote+peel) with identical dispatch patterns; the increments
+give the true in-graph cost of each phase (standalone phase timings carry
+relay dispatch overhead that the fused program amortizes).
+
+Usage: python benchmarks/profile_bisect.py
+"""
+import os
+import sys
+import time
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax, jax.numpy as jnp, numpy as np
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from canonicalvoting_tpu.data.geometry import NCLASSES
 from canonicalvoting_tpu.data.synthetic import make_scene
 from canonicalvoting_tpu.decode.peeling import PeelConfig, peel_boxes
 from canonicalvoting_tpu.eval.pipeline import DetectionPipeline, slice_joint_heads
 from canonicalvoting_tpu.models import MinkUNet34C
-from canonicalvoting_tpu.ops.hough_voting import hough_voting
+from canonicalvoting_tpu.ops.hough_voting import (
+    compute_corners, grid_dims_from_corners, hough_voting_obj,
+    vote_stats_at_cell)
+
 
 @jax.jit
-def _reduce(tree):
+def _red(tree):
     return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(tree))
 
-def fetch(x):
-    np.asarray(jax.device_get(_reduce(x)))
 
-def timeit(fn, *args, iters=5, **kw):
+def fetch(x):
+    np.asarray(jax.device_get(_red(x)))
+
+
+def timeit(fn, *args, iters=8, **kw):
     fetch(fn(*args, **kw))
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -24,97 +42,63 @@ def timeit(fn, *args, iters=5, **kw):
     fetch(out)
     return (time.perf_counter() - t0) / iters * 1000.0
 
-rng = np.random.RandomState(0)
-scene = make_scene(rng, extent=(6.0, 2.5, 7.0), n_background=50000,
-                   n_boxes=6, pts_per_box=3000)
-model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
-pipe = DetectionPipeline(model=model, variables=None, res=0.03, num_rots=120,
-                         peel=PeelConfig(res=0.03, max_boxes=64, max_iters=96),
-                         cap_multiple=8192, backbone="dense")
-args = pipe.prepare_scene(scene.points, scene.rgb)
-_, feats, flat, valid, coords_w, grid_shape, dense_dims, _tiles = args
-dm = pipe._dense_model
-variables = jax.jit(lambda r, f, fi, v: dm.init(r, f, fi, v, tuple(dense_dims), False))(
-    jax.random.PRNGKey(0), feats, flat, valid)
-cfg = pipe.peel
-pipe.variables = variables
 
-def heads_vote(out, coords_w, valid):
-    xyz, scale, class_pred, prob = slice_joint_heads(out)
-    scale = jnp.exp(scale)
-    return hough_voting(coords_w, xyz, scale, prob, res=0.03, num_rots=120,
-                        grid_shape=grid_shape, valid=valid)
+def main():
+    rng = np.random.RandomState(0)
+    scene = make_scene(rng, extent=(6.0, 2.5, 7.0), n_background=50000,
+                       n_boxes=6, pts_per_box=3000)
+    model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
+    pipe = DetectionPipeline(
+        model=model, variables=None, res=0.03, num_rots=120,
+        peel=PeelConfig(res=0.03, max_boxes=64, max_iters=96),
+        cap_multiple=8192, backbone="dense")
+    args = pipe.prepare_scene(scene.points, scene.rgb)
+    _, feats, flat, valid, coords_w, grid_shape, dense_dims, tiles = args
+    dm = pipe._dense_model
+    variables = jax.jit(
+        lambda r, f, fi, v: dm.init(r, f, fi, v, tuple(dense_dims), False,
+                                    tiles=tiles)
+    )(jax.random.PRNGKey(0), feats, flat, valid)
+    cfg = pipe.peel
+    dd = tuple(int(d) for d in dense_dims)
 
-@jax.jit
-def bb_vote(vs, f, fi, v, cw):
-    out = dm.apply(vs, f, fi, v, tuple(dense_dims), False)
-    return heads_vote(out, cw, v)
+    def backbone(vs, f, fi, v):
+        return dm.apply(vs, f, fi, v, dd, False, tiles=tiles)
 
-@jax.jit
-def vote_peel(out, cw, v):
-    go, gr, gs = heads_vote(out, cw, v)
-    xyz, scale, class_pred, prob = slice_joint_heads(out)
-    corner = jnp.min(jnp.where(v[:, None] > 0, cw, jnp.float32(3e38)), axis=0)
-    return peel_boxes(go, gr, gs, cw, xyz, prob, class_pred, corner, cfg, valid=v)
+    def heads_vote(out, cw, v):
+        xyz, scale, class_pred, prob = slice_joint_heads(out)
+        scale = jnp.exp(scale)
+        corners = compute_corners(cw, v)
+        go = hough_voting_obj(cw, xyz, scale, prob, res=0.03, num_rots=120,
+                              grid_shape=grid_shape, corners=corners, valid=v)
+        return go, corners, xyz, scale, prob, class_pred
 
-fwd = jax.jit(lambda vs, f, fi, v: dm.apply(vs, f, fi, v, tuple(dense_dims), False))
-out = fwd(variables, feats, flat, valid)
-out = jax.device_put(out)
+    def full(vs, f, fi, v, cw):
+        out = backbone(vs, f, fi, v)
+        go, corners, xyz, scale, prob, class_pred = heads_vote(out, cw, v)
+        corner = corners[0]
+        dims = jnp.minimum(grid_dims_from_corners(corners, 0.03),
+                           jnp.asarray(grid_shape, jnp.int32))
 
-print("backbone alone :", round(timeit(fwd, variables, feats, flat, valid), 1))
-print("backbone+vote  :", round(timeit(bb_vote, variables, feats, flat, valid, coords_w), 1))
-print("vote+peel      :", round(timeit(vote_peel, out, coords_w, valid), 1))
-print("fused total    :", round(timeit(lambda: pipe.run_scene(args), iters=3), 1))
+        def rot_scale_fn(cand):
+            return vote_stats_at_cell(cw, xyz, scale, prob, corner, dims,
+                                      0.03, 120, cand, valid=v)
 
-# variant A: vote consumes independent inputs inside the same program
-@jax.jit
-def bb_vote_indep(vs, f, fi, v, cw, xyz2, scale2, prob2):
-    out = dm.apply(vs, f, fi, v, tuple(dense_dims), False)
-    go, gr, gs = hough_voting(cw, xyz2, scale2, prob2, res=0.03, num_rots=120,
-                              grid_shape=grid_shape, valid=v)
-    return jnp.sum(out), go, gr, gs
+        return peel_boxes(go, None, None, cw, xyz, prob, class_pred, corner,
+                          cfg, valid=v, rot_scale_fn=rot_scale_fn)
 
-n = feats.shape[0]
-xyz2 = jax.device_put(np.random.randn(n, 3).astype(np.float32) * 0.2)
-scale2 = jax.device_put(np.abs(np.random.randn(n, 3)).astype(np.float32) * 0.3 + 0.2)
-prob2 = jax.device_put(np.random.rand(n).astype(np.float32))
-print("bb+vote indep  :", round(timeit(bb_vote_indep, variables, feats, flat,
-                                       valid, coords_w, xyz2, scale2, prob2), 1))
+    p1 = jax.jit(backbone)
+    p2 = jax.jit(lambda vs, f, fi, v, cw: heads_vote(
+        backbone(vs, f, fi, v), cw, v)[0])
+    p3 = jax.jit(full)
 
-# variant B: two separate jit calls, dependency through device array
-def two_calls(vs, f, fi, v, cw):
-    out = fwd(vs, f, fi, v)
-    return heads_vote_j(out, cw, v)
-heads_vote_j = jax.jit(heads_vote)
-print("two-call chain :", round(timeit(two_calls, variables, feats, flat, valid, coords_w), 1))
+    t1 = timeit(p1, variables, feats, flat, valid)
+    t2 = timeit(p2, variables, feats, flat, valid, coords_w)
+    t3 = timeit(p3, variables, feats, flat, valid, coords_w)
+    print(f"backbone              {t1:7.1f} ms")
+    print(f"+ vote (obj)          {t2:7.1f} ms   (vote ~ {t2 - t1:.1f})")
+    print(f"+ peel (lazy r/s)     {t3:7.1f} ms   (peel ~ {t3 - t2:.1f})")
 
-# variant C: optimization barrier between backbone and vote
-@jax.jit
-def bb_vote_barrier(vs, f, fi, v, cw):
-    out = dm.apply(vs, f, fi, v, tuple(dense_dims), False)
-    out = jax.lax.optimization_barrier(out)
-    return heads_vote(out, cw, v)
-print("bb+vote barrier:", round(timeit(bb_vote_barrier, variables, feats, flat, valid, coords_w), 1))
 
-from canonicalvoting_tpu.ops.hough_voting import compute_corners, grid_dims_from_corners
-
-@jax.jit
-def bb_heads(vs, f, fi, v):
-    out = dm.apply(vs, f, fi, v, tuple(dense_dims), False)
-    xyz, scale, class_pred, prob = slice_joint_heads(out)
-    return jnp.sum(xyz), jnp.sum(scale), jnp.sum(prob)
-print("bb+heads       :", round(timeit(bb_heads, variables, feats, flat, valid), 1))
-
-@jax.jit
-def bb_heads_sort(vs, f, fi, v, cw):
-    out = dm.apply(vs, f, fi, v, tuple(dense_dims), False)
-    xyz, scale, class_pred, prob = slice_joint_heads(out)
-    scale = jnp.exp(scale)
-    corr = xyz * scale
-    cy = (cw[:, 1] - corr[:, 1]) / jnp.float32(0.03)
-    key = jnp.floor(cy).astype(jnp.int32)
-    order = jnp.argsort(key)
-    data = jnp.concatenate([cw, corr, scale, prob[:, None]], axis=1)
-    data = data[order]
-    return jnp.sum(data)
-print("bb+heads+sort  :", round(timeit(bb_heads_sort, variables, feats, flat, valid, coords_w), 1))
+if __name__ == "__main__":
+    main()

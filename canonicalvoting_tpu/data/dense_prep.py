@@ -5,20 +5,43 @@ id. The base voxel coordinate is aligned DOWN to the coarsest stride (16) so
 dense stride-2 downsampling reproduces the raw-coordinate floor-division
 semantics of the sparse pyramid (ops/coords.downsample_coords) exactly, and
 grid dims are rounded up to multiples of 16 (bucketed to limit recompiles).
+
+All dense grids are MARGINED: stored with (MX, MY, MZ) = (2, 2, 8) zero
+borders around the interior (see ops/pallas/tiled_conv.py) so Pallas conv
+windows never go out of bounds and z DMA starts stay 8-sublane aligned.
+Flat cell ids index the margined storage.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
+from canonicalvoting_tpu.ops.pallas.tiled_conv import MX, MY, MZ
+
 STRIDE_ALIGN = 16
+
+# per-level (tile_shape, group) for the Pallas occupied-tile conv, chosen by
+# TPU sweep (benchmarks/bench_tile_shapes.py): fine tiles at L0 where the
+# scene is sparsest, coarser at L1+ where per-tile DMA issue cost dominates
+TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
+    0: ((4, 4, 8), 16),
+    1: ((8, 8, 8), 8),
+    2: ((8, 8, 8), 8),
+}
+
+# the k=5 stem uses coarser L0 tiles: its per-cell compute is tiny (3 real
+# input channels), so per-tile DMA issue cost dominates and fewer, larger
+# tiles win. Keyed by STEM_KEY (an int: the tiles dict crosses jax pytree
+# boundaries, whose dict-key sort rejects mixed int/str keys).
+STEM_KEY = -1
+STEM_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((8, 8, 32), 2)
 
 
 def dense_grid_geometry(coords: np.ndarray, dim_multiple: int = 32,
                         ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
-    """(base (3,) int32, dims (X, Y, Z)) for raw L0 voxel coords (N, 3)."""
+    """(base (3,) int32, INTERIOR dims (X, Y, Z)) for raw L0 voxel coords."""
     c = coords[:, -3:].astype(np.int64)
     lo = c.min(0)
     hi = c.max(0)
@@ -32,34 +55,52 @@ def dense_grid_geometry(coords: np.ndarray, dim_multiple: int = 32,
 
 def dense_flat_ids(coords: np.ndarray, base: np.ndarray,
                    dims: Tuple[int, int, int]) -> np.ndarray:
-    """Flat L0 cell index per point; -1 when outside the grid."""
+    """Flat MARGINED cell index per point; -1 when outside the interior.
+
+    dims are the interior dims; the returned ids index the
+    (X + 2*MX, Y + 2*MY, Z + 2*MZ) margined grid storage.
+    """
     c = coords[:, -3:].astype(np.int64) - base.astype(np.int64)
     ok = np.all((c >= 0) & (c < np.asarray(dims)), axis=1)
-    flat = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+    ym, zm = dims[1] + 2 * MY, dims[2] + 2 * MZ
+    flat = ((c[:, 0] + MX) * ym + (c[:, 1] + MY)) * zm + (c[:, 2] + MZ)
     return np.where(ok, flat, -1).astype(np.int32)
 
 
 def level_tiles(coords: np.ndarray, base: np.ndarray,
-                dims: Tuple[int, int, int], levels=(0, 1, 2),
-                tile_shape=(8, 8, 32), pad_multiple: int = 32):
+                dims: Tuple[int, int, int], tile_plan=None,
+                pad_multiple: int = 32):
     """Occupied-tile coordinates per stride level for the Pallas tiled conv.
 
-    Returns {level: (T, 3) int32} with T padded up to ``pad_multiple``
+    tile_plan: {level: (tile_shape, group)} (default TILE_PLAN). Returns
+    {level: (T, 3) int32} with T padded up to lcm(pad_multiple, group)
     (bucketed to limit recompiles) by repeating the last tile — duplicate
     tiles recompute/rewrite identical values, which is benign. Levels whose
-    grid dims don't divide by the tile shape are skipped.
+    interior dims don't divide by the tile shape are skipped. Tile coords
+    index the INTERIOR (margins are applied inside the kernel).
     """
+    if tile_plan is None:
+        tile_plan = TILE_PLAN
     c0 = coords[:, -3:].astype(np.int64) - base.astype(np.int64)
     c0 = c0[np.all((c0 >= 0) & (c0 < np.asarray(dims)), axis=1)]
-    ts = np.asarray(tile_shape)
     out = {}
-    for lvl in levels:
+    entries = [(lvl, lvl, ts_g) for lvl, ts_g in tile_plan.items()]
+    if 0 in tile_plan:
+        entries.append((STEM_KEY, 0, STEM_TILE_PLAN))
+    for key, lvl, (tile_shape, group) in entries:
+        ts = np.asarray(tile_shape)
         d = tuple(x >> lvl for x in dims)
         if any(dd % tt for dd, tt in zip(d, ts)):
             continue
         t = np.unique((c0 >> lvl) // ts, axis=0).astype(np.int32)
-        pad = int(np.ceil(len(t) / pad_multiple) * pad_multiple) - len(t)
+        # geometric bucketing (~1/16 granularity): same-size scenes land on
+        # the same padded tile count, so the jitted backbone compiles once
+        # per size class instead of once per scene (remote TPU compiles of
+        # the full backbone take minutes)
+        m = int(np.lcm(pad_multiple, group))
+        m = int(np.lcm(m, 1 << max(int(len(t)).bit_length() - 4, 0)))
+        pad = int(np.ceil(len(t) / m) * m) - len(t)
         if pad:
             t = np.concatenate([t, np.repeat(t[-1:], pad, axis=0)], axis=0)
-        out[lvl] = t
+        out[key] = t
     return out

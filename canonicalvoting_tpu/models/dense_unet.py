@@ -3,9 +3,10 @@
 MOTIVATION. The gather-form sparse conv (ops/sparse_conv.py) is bound by
 TPU row-gather throughput (~15M rows/s): a ScanNet scene costs ~35M gathered
 rows per forward => ~900 ms, with the kernel-5 stem alone ~670 ms. At 3 cm
-resolution a scan occupies only ~1-2% of its bounding grid, but XLA's dense
-Conv3D runs on the MXU at near-peak: the 50x FLOP overcompute is ~6-9x
-CHEAPER than the gathers.
+resolution a scan occupies only ~1-2% of its bounding grid, but dense
+convolution runs on the MXU at near-peak: the FLOP overcompute is ~6-9x
+CHEAPER than the gathers — and the Pallas occupied-tile kernel
+(ops/pallas/tiled_conv.py) then removes most of the overcompute too.
 
 EXACTNESS. Submanifold sparse convolution == dense convolution + occupancy
 masking:
@@ -17,6 +18,15 @@ masking:
   * stride-2 occupancy = max-pool of fine occupancy == the coordinate
     downsample unique(floor(c/2)*2) (ops/coords.downsample_coords);
   * BatchNorm statistics are computed over occupied cells only.
+
+GRID LAYOUT. Every dense grid is MARGINED — stored with (MX, MY, MZ) =
+(2, 2, 8) zero borders around the interior (ops/pallas/tiled_conv.py) — so
+Pallas conv windows never go out of bounds (no per-conv full-grid pads) and
+z DMA starts stay 8-sublane aligned. The XLA strided/transposed convs are
+given padding configs that map margined inputs to margined outputs directly
+(margin outputs are exact zeros because margins are zero). In the tiled
+path, activation grids additionally carry 128-multiple lane counts (real
+channels first, zero lanes after) as the DMA engine requires.
 
 The parameter tree is IDENTICAL to models/minkunet.MinkUNetBase (same module
 names, same (K, Cin, Cout) kernel shapes with the x-fastest offset
@@ -35,9 +45,11 @@ from typing import Any, Dict, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from canonicalvoting_tpu.models.norm import MaskedBatchNorm
 from canonicalvoting_tpu.models.resnet import BLOCKS, kernel_init
+from canonicalvoting_tpu.ops.pallas.tiled_conv import MX, MY, MZ, _lanes
 
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
@@ -50,10 +62,18 @@ def _to_dense_kernel(w: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.transpose(w, (2, 1, 0, 3, 4))
 
 
-class DenseBatchNorm(nn.Module):
-    """MaskedBatchNorm over occupied cells of a dense (1, X, Y, Z, C) grid.
+def pad_lanes(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    """Zero-pad the channel dim up to ``lanes`` (no-op when already there)."""
+    c = x.shape[-1]
+    if c == lanes:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, lanes - c)])
 
-    Same parameter/stat names as MaskedBatchNorm so variables interchange.
+
+class DenseBatchNorm(nn.Module):
+    """MaskedBatchNorm over occupied cells of a dense (1, Xm, Ym, Zm, C)
+    margined grid. Same parameter/stat names as MaskedBatchNorm so variables
+    interchange. Margins (occ == 0 there) contribute nothing and stay zero.
     """
 
     features: int
@@ -80,6 +100,8 @@ class DenseBatchNorm(nn.Module):
             a = inv * scale
             return a, bias - ra_mean.value * a
 
+        if occ is not None and occ.ndim == x.ndim - 1:
+            occ = occ[..., None]
         if train:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
@@ -110,11 +132,14 @@ class DenseBatchNorm(nn.Module):
 class DenseConv(nn.Module):
     """Dense conv layer storing the sparse-format (K, Cin, Cout) kernel.
 
-    ``conv_impl`` selects the stride-1 odd-k execution path: "xla"
+    All grid inputs/outputs are MARGINED (see module docstring).
+
+    ``conv_impl`` selects the stride-1 execution path: "xla"
     (lax.conv_general_dilated over the full grid) or "tiled"/
-    "tiled_interpret" (the Pallas occupied-tile kernel,
-    ops/pallas/tiled_conv.py; requires ``tiles`` at call time). Strided,
-    transposed and 1x1 convs always take the XLA path.
+    "tiled_interpret" (the Pallas occupied-tile kernel; requires ``tiles``
+    and ``ts_group`` at call time and returns 128-multiple lanes). Strided
+    and transposed convs always take the XLA path, with padding configs
+    that keep grids margined.
     """
 
     in_channels: int
@@ -127,14 +152,19 @@ class DenseConv(nn.Module):
     conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, tiles=None, scale=None, bias=None, occ=None,
-                 residual=None, relu_out: bool = False):
+    def __call__(self, x, tiles=None, ts_group=None, scale=None, bias=None,
+                 occ=None, residual=None, res_w=None, res_scale=None,
+                 res_bias=None, relu_out: bool = False, rows: bool = False,
+                 return_kernel: bool = False):
         k = self.kernel_size
         w = self.param(
             "kernel", kernel_init, (k ** 3, self.in_channels, self.out_channels)
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) \
             if self.use_bias else None
+        if return_kernel:
+            # weights-only access for epilogue fusion into another kernel
+            return w
         bf16 = self.compute_dtype == "bfloat16"
         dt = jnp.bfloat16 if bf16 else jnp.float32
         # activations stay in the compute dtype end-to-end: at L0 the
@@ -142,18 +172,35 @@ class DenseConv(nn.Module):
         # dominant traffic (MXU accumulation is f32 internally either way)
         pe = jnp.bfloat16 if bf16 else jnp.float32
         xc = x.astype(dt)
-        # k=5 (the stem) stays on XLA: 125 unrolled taps overflow scoped
-        # VMEM in the Mosaic kernel (40 MB stack vs 16 MB limit)
-        if (tiles is not None and self.conv_impl != "xla" and k == 3
+
+        if rows:
+            # (N, C>=cin) point rows through the 1x1 head
+            assert k == 1
+            out = jax.lax.dot_general(
+                xc[:, :self.in_channels],
+                w.astype(dt).reshape(self.in_channels, self.out_channels),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=pe,
+            )
+            return out + b if b is not None else out
+
+        if (tiles is not None and self.conv_impl != "xla"
                 and self.stride == 1 and not self.transpose):
             from canonicalvoting_tpu.ops.pallas.tiled_conv import tiled_conv3d
 
             assert b is None, "fused tiled conv folds bias via scale/bias"
+            ts, group = ts_group
+            xin = pad_lanes(xc[0], _lanes(self.in_channels))
+            res = None
+            if residual is not None:
+                res = residual[0].astype(dt)
+                if res_w is None:
+                    res = pad_lanes(res, _lanes(self.out_channels))
             out = tiled_conv3d(
-                xc[0], w.astype(dt), tiles, kernel_size=k,
-                scale=scale, bias=bias, occ=occ,
-                residual=None if residual is None else residual[0],
-                relu_out=relu_out,
+                xin, w.astype(dt), tiles, kernel_size=k,
+                scale=scale, bias=bias, occ=occ, residual=res,
+                res_w=res_w, res_scale=res_scale, res_bias=res_bias,
+                relu_out=relu_out, tile_shape=ts, group=group,
                 interpret=(self.conv_impl == "tiled_interpret"),
             )[None]
             return out
@@ -161,29 +208,44 @@ class DenseConv(nn.Module):
             and not relu_out, "epilogue fusion requires the tiled path"
         if k == 1:
             out = jax.lax.dot_general(
-                xc.reshape(-1, self.in_channels),
+                xc.reshape(-1, xc.shape[-1])[:, :self.in_channels],
                 w.astype(dt).reshape(self.in_channels, self.out_channels),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=pe,
             ).reshape(x.shape[:-1] + (self.out_channels,))
         else:
             wk = _to_dense_kernel(w, k).astype(dt)
+            # inputs may carry zero lane padding: pad kernel rows to match
+            wk = jnp.pad(wk, ((0, 0),) * 3
+                         + ((0, xc.shape[-1] - self.in_channels), (0, 0)))
             if self.transpose:
-                # conv_transpose('VALID') computes out[s*p + d] = K[flip(d)] @
-                # in[p]; flip the spatial axes so offset d uses kernel W[d],
-                # matching the reversed down-map semantics (ops/coords.py).
-                out = jax.lax.conv_transpose(
-                    xc, wk[::-1, ::-1, ::-1], (self.stride,) * 3, "VALID",
+                # margined-in -> margined-out transposed conv as a dilated
+                # conv: out[o] = sum_d W[flip(d)] in[(o - d + lo) / s] with
+                # negative padding 1 - margin trimming the dilated borders;
+                # margin outputs read only zero margins => stay zero
+                assert k == 2 and self.stride == 2
+                out = jax.lax.conv_general_dilated(
+                    xc, wk[::-1, ::-1, ::-1],
+                    window_strides=(1, 1, 1),
+                    padding=((1 - MX, 1 - MX), (1 - MY, 1 - MY),
+                             (1 - MZ, 1 - MZ)),
+                    lhs_dilation=(2, 2, 2),
+                    dimension_numbers=_DN,
+                    preferred_element_type=pe,
+                )
+            elif self.stride > 1:
+                # margined-in -> margined-out strided conv: pad by the
+                # margin so out interior o maps to input start s*(o-M)+M
+                assert k == 2 and self.stride == 2
+                out = jax.lax.conv_general_dilated(
+                    xc, wk, (2, 2, 2),
+                    [(MX, MX), (MY, MY), (MZ, MZ)],
                     dimension_numbers=_DN,
                     preferred_element_type=pe,
                 )
             else:
-                if k % 2 == 1:
-                    pad = [(k // 2, k // 2)] * 3
-                else:
-                    pad = [(0, self.stride - 1)] * 3  # offsets {0..k-1}
                 out = jax.lax.conv_general_dilated(
-                    xc, wk, (self.stride,) * 3, pad,
+                    xc, wk, (1, 1, 1), [(k // 2, k // 2)] * 3,
                     dimension_numbers=_DN,
                     preferred_element_type=pe,
                 )
@@ -202,7 +264,7 @@ class DenseBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None,
-                 occp=None):
+                 ts_group=None, occp=None):
         conv1 = DenseConv(self.in_channels, self.planes, 3,
                           compute_dtype=self.compute_dtype,
                           conv_impl=self.conv_impl, name="conv1")
@@ -213,36 +275,51 @@ class DenseBasicBlock(nn.Module):
                           conv_impl=self.conv_impl, name="conv2")
         norm2 = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
                                name="norm2")
+        downsample = self.in_channels != self.planes
+        if downsample:
+            ds_conv = DenseConv(self.in_channels, self.planes, 1,
+                                compute_dtype=self.compute_dtype,
+                                name="downsample_conv")
+            ds_norm = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
+                                     name="downsample_norm")
 
         fused = (tiles is not None and occp is not None and not train
                  and self.conv_impl != "xla")
-
-        def residual():
-            if self.in_channels != self.planes:
-                res = DenseConv(self.in_channels, self.planes, 1,
-                                compute_dtype=self.compute_dtype,
-                                name="downsample_conv")(x)
-                res = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
-                                     name="downsample_norm")(
-                    res, occ, train, momentum)
-                return res
-            return x
-
         if fused:
             # inference path: BN folded to per-channel affine + occupancy
-            # mask + residual add + relu run in the conv kernels' epilogues
+            # mask + (optionally 1x1-downsampled) residual add + relu all
+            # run in the two conv kernels' epilogues
             a1, b1 = norm1(None, None, False, return_affine=True)
-            out = conv1(x, tiles, scale=a1, bias=b1, occ=occp, relu_out=True)
+            out = conv1(x, tiles, ts_group, scale=a1, bias=b1, occ=occp,
+                        relu_out=True)
             a2, b2 = norm2(None, None, False, return_affine=True)
-            return conv2(out, tiles, scale=a2, bias=b2, occ=occp,
-                         residual=residual(), relu_out=True)
+            if downsample:
+                wds = ds_conv(None, return_kernel=True)  # (1, Cin, planes)
+                ars, brs = ds_norm(None, None, False, return_affine=True)
+                return conv2(out, tiles, ts_group, scale=a2, bias=b2,
+                             occ=occp, residual=x,
+                             res_w=wds.reshape(self.in_channels, self.planes),
+                             res_scale=ars, res_bias=brs, relu_out=True)
+            return conv2(out, tiles, ts_group, scale=a2, bias=b2, occ=occp,
+                         residual=x, relu_out=True)
 
-        out = conv1(x, tiles)
-        out = out * occ
+        def residual():
+            if downsample:
+                res = ds_conv(x)
+                return ds_norm(res, occ, train, momentum)
+            return x[..., :self.planes]
+
+        def trim(o):
+            # the tiled kernel returns 128-multiple lanes; the explicit
+            # mask/BN path operates on real channels
+            return o[..., :self.planes] if o.shape[-1] != self.planes else o
+
+        out = trim(conv1(x, tiles, ts_group))
+        out = out * occ[..., None]
         out = norm1(out, occ, train, momentum)
         out = nn.relu(out)
-        out = conv2(out, tiles)
-        out = out * occ
+        out = trim(conv2(out, tiles, ts_group))
+        out = out * occ[..., None]
         out = norm2(out, occ, train, momentum)
         return nn.relu(out + residual())
 
@@ -257,10 +334,14 @@ class DenseBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None,
-                 occp=None):
+                 ts_group=None, occp=None):
         e = self.expansion
         fused = (tiles is not None and occp is not None and not train
                  and self.conv_impl != "xla")
+
+        def trim(o, c):
+            return o[..., :c] if o.shape[-1] != c else o
+
         out = DenseConv(self.in_channels, self.planes, 1,
                         compute_dtype=self.compute_dtype, name="conv1")(x)
         out = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
@@ -273,11 +354,12 @@ class DenseBottleneck(nn.Module):
                                name="norm2")
         if fused:
             a2, b2 = norm2(None, None, False, return_affine=True)
-            out = conv2(out, tiles, scale=a2, bias=b2, occ=occp,
+            out = conv2(out, tiles, ts_group, scale=a2, bias=b2, occ=occp,
                         relu_out=True)
+            out = trim(out, self.planes)
         else:
-            out = conv2(out, tiles)
-            out = out * occ
+            out = trim(conv2(out, tiles, ts_group), self.planes)
+            out = out * occ[..., None]
             out = norm2(out, occ, train, momentum)
             out = nn.relu(out)
         out = DenseConv(self.planes, self.planes * e, 1,
@@ -289,9 +371,10 @@ class DenseBottleneck(nn.Module):
                             compute_dtype=self.compute_dtype,
                             name="downsample_conv")(x)
             res = DenseBatchNorm(self.planes * e, axis_name=self.bn_axis,
-                                 name="downsample_norm")(res, occ, train, momentum)
+                                 name="downsample_norm")(res, occ, train,
+                                                         momentum)
         else:
-            res = x
+            res = x[..., :self.planes * e]
         return nn.relu(out + res)
 
 
@@ -301,10 +384,11 @@ _DENSE_BLOCKS = {"basic": DenseBasicBlock, "bottleneck": DenseBottleneck}
 class DenseMinkUNet(nn.Module):
     """Dense-execution twin of models.minkunet.MinkUNetBase.
 
-    Inputs: ``feats`` (N, Cin) point rows + ``flat_idx`` (N,) int32 cell ids
-    into the L0 grid + ``valid`` (N,) mask + static ``grid_dims`` (X, Y, Z)
-    with every dim a multiple of 16. Returns (N, Cout) rows at the same
-    point order (gathered back from the dense grid).
+    Inputs: ``feats`` (N, Cin) point rows + ``flat_idx`` (N,) int32 MARGINED
+    cell ids into the L0 grid (data.dense_prep.dense_flat_ids) + ``valid``
+    (N,) mask + static ``grid_dims`` (X, Y, Z) INTERIOR dims with every dim
+    a multiple of 16. Returns (N, Cout) rows at the same point order
+    (gathered back from the dense grid).
     """
 
     in_channels: int
@@ -316,12 +400,15 @@ class DenseMinkUNet(nn.Module):
     stem_kernel: int = 5
     compute_dtype: str = "bfloat16"
     bn_axis: str = ""
-    # "xla" or "tiled": stride-1 k=3/5 convs via the Pallas occupied-tile
-    # kernel when per-level tiles are passed to __call__
+    # "xla" or "tiled": stride-1 convs via the Pallas occupied-tile kernel
+    # when per-level tiles are passed to __call__
     conv_impl: str = "xla"
+    # the k=5 stem: "tiled" (Pallas compact fold on STEM_TILE_PLAN tiles)
+    # or "xla" (dense conv)
+    stem_impl: str = "tiled"
 
     def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
-                tiles=None, occp=None):
+                tiles=None, ts_group=None, occp=None):
         blk = _DENSE_BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
@@ -329,54 +416,85 @@ class DenseMinkUNet(nn.Module):
             x = blk(ch, planes, compute_dtype=self.compute_dtype,
                     bn_axis=self.bn_axis, conv_impl=self.conv_impl,
                     name=f"{name}_{j}")(
-                x, occ, train, mom, tiles=tiles, occp=occp)
+                x, occ, train, mom, tiles=tiles, ts_group=ts_group, occp=occp)
             ch = planes * exp
         return x, ch
 
     @nn.compact
     def __call__(self, feats, flat_idx, valid, grid_dims: Tuple[int, int, int],
                  train: bool = False, bn_momentum=0.1, tiles=None):
+        from canonicalvoting_tpu.data.dense_prep import (
+            STEM_KEY, STEM_TILE_PLAN, TILE_PLAN)
+
         tiles = tiles or {}
         dx, dy, dz = grid_dims
         assert dx % 16 == 0 and dy % 16 == 0 and dz % 16 == 0
+        dxm, dym, dzm = dx + 2 * MX, dy + 2 * MY, dz + 2 * MZ
         mom = bn_momentum
         dt = self.compute_dtype
         pl_ = self.planes
         ly = self.layers
         exp = _DENSE_BLOCKS[self.block].expansion
+        tiled = bool(tiles) and self.conv_impl != "xla" and not train
+        tsg = {key: (STEM_TILE_PLAN if key == STEM_KEY else TILE_PLAN[key])
+               for key in tiles}
 
-        n_cells = dx * dy * dz
+        n_cells = dxm * dym * dzm
         vmask = (valid > 0)
         safe_idx = jnp.where(vmask, flat_idx, n_cells)
         frows = jnp.where(vmask[:, None], feats, 0.0)
         in_dt = jnp.bfloat16 if dt == "bfloat16" else jnp.float32
-        dense = jnp.zeros((n_cells, self.in_channels), in_dt)
-        dense = dense.at[safe_idx].set(frows.astype(in_dt), mode="drop")
-        occ0_flat = jnp.zeros((n_cells, 1), jnp.float32).at[safe_idx].set(
+        stem_tiled = (self.stem_impl == "tiled" and tiled
+                      and STEM_KEY in tiles)
+        # tiled stem: scatter straight into the 128-lane grid the DMA wants
+        # (padding a (..., 3) grid afterwards would be a 2 GB copy)
+        scat_c = _lanes(self.in_channels) if stem_tiled \
+            else self.in_channels
+        dense = jnp.zeros((n_cells, scat_c), in_dt)
+        dense = dense.at[safe_idx].set(
+            pad_lanes(frows.astype(in_dt), scat_c), mode="drop")
+        occ0_flat = jnp.zeros((n_cells,), jnp.float32).at[safe_idx].set(
             1.0, mode="drop"
         )
-        x = dense.reshape(1, dx, dy, dz, self.in_channels)
-        occ = [occ0_flat.reshape(1, dx, dy, dz, 1)]
+        x = dense.reshape(1, dxm, dym, dzm, scat_c)
+        # margined occupancy pyramid as (1, X, Y, Z) — a trailing size-1
+        # channel dim would be lane-padded 128x physically; broadcasts at
+        # the use sites fuse and never materialize
+        occ = [occ0_flat.reshape(1, dxm, dym, dzm)]
         for _ in range(4):
-            occ.append(
-                nn.max_pool(occ[-1], (2, 2, 2), strides=(2, 2, 2))
-            )
+            o = occ[-1][:, MX:-MX, MY:-MY, MZ:-MZ]
+            o = jax.lax.reduce_window(
+                o, -jnp.inf, jax.lax.max, (1, 2, 2, 2), (1, 2, 2, 2),
+                "VALID")
+            occ.append(jnp.pad(
+                o, ((0, 0), (MX, MX), (MY, MY), (MZ, MZ))))
         # per-tile packed occupancy for the fused tiled-conv epilogue
         occp = {}
-        if not train and self.conv_impl != "xla":
+        if tiled:
             from canonicalvoting_tpu.ops.pallas.tiled_conv import pack_occ
 
-            for lvl, t in tiles.items():
-                occp[lvl] = pack_occ(occ[lvl][0, ..., 0], t)
+            for key, t in tiles.items():
+                lvl = max(key, 0)  # STEM_KEY (-1) packs L0 occupancy
+                occp[key] = pack_occ(occ[lvl][0], t, tsg[key][0])
 
         # --- stem
-        x = DenseConv(self.in_channels, self.init_dim, self.stem_kernel,
-                      compute_dtype=dt, conv_impl=self.conv_impl,
-                      name="conv0p1s1")(x, tiles.get(0))
-        x = x * occ[0]
-        x = DenseBatchNorm(self.init_dim, axis_name=self.bn_axis,
-                           name="bn0")(x, occ[0], train, mom)
-        out_p1 = nn.relu(x)
+        stem = DenseConv(self.in_channels, self.init_dim, self.stem_kernel,
+                         compute_dtype=dt, conv_impl=self.conv_impl,
+                         name="conv0p1s1")
+        bn0 = DenseBatchNorm(self.init_dim, axis_name=self.bn_axis,
+                             name="bn0")
+        # stem_impl "tiled": the k=5 cin=3 conv through the Pallas kernel's
+        # compact fold (the 125 taps fit one 128-lane operand at the real
+        # channel stride), on the coarser STEM_TILE_PLAN tiles
+        if stem_tiled:
+            a0, b0 = bn0(None, None, False, return_affine=True)
+            out_p1 = stem(x, tiles[STEM_KEY], tsg[STEM_KEY], scale=a0,
+                          bias=b0, occ=occp[STEM_KEY], relu_out=True)
+        else:
+            x = stem(x, None)
+            x = x * occ[0][..., None]
+            x = bn0(x, occ[0], train, mom)
+            out_p1 = nn.relu(x)
 
         # --- encoder
         skips = []
@@ -385,12 +503,15 @@ class DenseMinkUNet(nn.Module):
         for i in range(4):
             x = DenseConv(ch, ch, 2, stride=2, compute_dtype=dt,
                           name=f"conv{i + 1}p{1 << i}s2")(x)
-            x = x * occ[i + 1]
+            x = x * occ[i + 1][..., None]
             x = DenseBatchNorm(ch, axis_name=self.bn_axis,
                                name=f"bn{i + 1}")(x, occ[i + 1], train, mom)
             x = nn.relu(x)
+            if tiled and (i + 1) in tiles:
+                x = pad_lanes(x, _lanes(ch))
             x, ch = self._blocks(f"block{i + 1}", x, occ[i + 1], ch, pl_[i],
                                  ly[i], train, mom, tiles=tiles.get(i + 1),
+                                 ts_group=tsg.get(i + 1),
                                  occp=occp.get(i + 1))
             skips.append(x)
 
@@ -402,23 +523,26 @@ class DenseMinkUNet(nn.Module):
             x = DenseConv(ch, pl_[4 + d], 2, stride=2, transpose=True,
                           compute_dtype=dt,
                           name=f"convtr{4 + d}p{1 << (lvl + 1)}s2")(x)
-            x = x * occ[lvl]
+            x = x * occ[lvl][..., None]
             x = DenseBatchNorm(pl_[4 + d], axis_name=self.bn_axis,
                                name=f"bntr{4 + d}")(x, occ[lvl], train, mom)
             x = nn.relu(x)
             skip = skips[lvl - 1] if lvl >= 1 else out_p1
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skip[..., :skip_chs[lvl]]], axis=-1)
             ch = pl_[4 + d] + skip_chs[lvl]
+            if tiled and lvl in tiles:
+                x = pad_lanes(x, _lanes(ch))
             x, ch = self._blocks(f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d],
                                  ly[4 + d], train, mom, tiles=tiles.get(lvl),
-                                 occp=occp.get(lvl))
+                                 ts_group=tsg.get(lvl), occp=occp.get(lvl))
 
         # gather the point rows FIRST, then apply the 1x1 head to just those
         # rows — the head on the full grid would be a (n_cells, ch) matmul
         # plus a full-grid write for values 99% of which are discarded
-        rows_in = x.reshape(n_cells, ch)[jnp.clip(flat_idx, 0, n_cells - 1)]
+        rows_in = x.reshape(n_cells, x.shape[-1])[
+            jnp.clip(flat_idx, 0, n_cells - 1)]
         out = DenseConv(ch, self.out_channels, 1, use_bias=True,
-                        compute_dtype=dt, name="final")(rows_in)
+                        compute_dtype=dt, name="final")(rows_in, rows=True)
         return jnp.where(vmask[:, None], out.astype(jnp.float32), 0.0)
 
 

@@ -10,20 +10,25 @@ HOW. Two structural facts of the rotation sweep:
 
   1. The Y component of every vote is rotation-INVARIANT
      (offset_y = -xyz_y*scale_y, hv_cuda_kernel.cu:39): each point writes to
-     exactly two y-planes (floor/ceil) with fixed weights for all rotations.
+     exactly two adjacent y-planes (floor/ceil) with fixed weights for all
+     rotations.
   2. The trilinear splat factorizes: within a y-plane a vote contributes
-     w_y * (x-bilinear one-hot) (x) (z-bilinear one-hot) — an OUTER PRODUCT.
+     w_y * (x-tent) (x) (z-tent) — an OUTER PRODUCT of bilinear tents.
 
-So: sort points by their vote y-plane (one cheap N-key sort) and let grid
-program j accumulate plane j as a sequence of matmuls
+So: sort points by their FLOOR vote y-plane (one cheap N-key sort) and let
+grid program j accumulate, over its own points only, a DOUBLE-WIDTH canvas
 
-    canvas_j (6*Gx, Gz) += A6^T @ Cz
+    canvas_j (2*ch*Gx, Gz) += [A*w0 | A*w1]^T @ Cz
 
-over vote chunks from the contiguous point range whose floor-y is {j-1, j}
-(scalar-prefetched range offsets). A6 (V, 6*Gx) holds the x-bilinear
-one-hots scaled per channel (obj, obj*cos, obj*sin, obj*s_{x,y,z}, all
-premultiplied by the plane's y-weight); Cz (V, Gz) the z-bilinear one-hots.
-Scatter becomes ~2*N*R*6*Gx*Gz dense bf16 MACs with f32 accumulation —
+whose left half is plane j's own (floor, weight 1-frac) contribution and
+right half the spill into plane j+1 (ceil, weight frac). A final cheap XLA
+pass adds the right halves shifted down one plane. Each point is therefore
+processed ONCE (the previous revision swept every point twice, once per
+adjacent plane — the tent/one-hot construction on the VPU is the dominant
+cost and this halves it). A (V, ch*Gx) holds the x-tents scaled per channel
+(obj, obj*cos, obj*sin, obj*s_{x,y,z}); Cz (V, Gz) the z-tents. Tents are
+built as max(0, 1 - |col - u|), exactly the two trilinear corner weights.
+Scatter becomes ~N*R*2*ch*Gx*Gz dense bf16 MACs with f32 accumulation —
 tens of milliseconds instead of seconds, and deterministic.
 
 The backward pass stays on the XLA path (ops/hough_voting.py) — training
@@ -33,7 +38,7 @@ never differentiates through the vote op in the reference pipelines
 Layout notes (Mosaic): points live on the SUBLANE axis (chunks of C=128
 rows); rotations are a static python unroll of Rc=8 per matmul, giving a
 contraction dim V = Rc*C = 1024. All intermediates are 2D; channel scaling
-builds A6 by lane-concatenation, avoiding 3D reshapes.
+builds A by lane-concatenation, avoiding 3D reshapes.
 """
 
 from __future__ import annotations
@@ -50,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 _TWO_PI = 2.0 * 3.141592654  # matches the CUDA kernel constant
 
 # cols of the packed per-point row
-_PX, _PZ, _CORX, _CORZ, _OBJ, _SX, _SY, _SZ, _WY1, _JY = range(10)
+_PX, _PZ, _CORX, _CORZ, _OBJ, _SX, _SY, _SZ, _WY1 = range(9)
 _NCOLS = 128  # padded to full lane width for aligned DMA slices
 
 
@@ -63,15 +68,14 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
     dims_x = dims_ref[0].astype(jnp.float32)
     dims_z = dims_ref[1].astype(jnp.float32)
     dtheta = jnp.float32(_TWO_PI / num_rots)
-    jf = j.astype(jnp.float32)
 
-    out_ref[0] = jnp.zeros((channels * gx, gz), jnp.float32)
+    out_ref[0] = jnp.zeros((2 * channels * gx, gz), jnp.float32)
 
     n = jnp.maximum(end - start, 0)
     n_chunks = pl.cdiv(n, C)
 
-    colx = jax.lax.broadcasted_iota(jnp.int32, (C, gx), 1)
-    colz = jax.lax.broadcasted_iota(jnp.int32, (C, gz), 1)
+    colx = jax.lax.broadcasted_iota(jnp.int32, (C, gx), 1).astype(jnp.float32)
+    colz = jax.lax.broadcasted_iota(jnp.int32, (C, gz), 1).astype(jnp.float32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
 
     def chunk_body(ci, _):
@@ -91,11 +95,10 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
         sy = pt_ref[:, _SY:_SY + 1]
         sz = pt_ref[:, _SZ:_SZ + 1]
         wy1 = pt_ref[:, _WY1:_WY1 + 1]
-        jy = pt_ref[:, _JY:_JY + 1]
 
         row_ok = ((row0 + row_iota) < end).astype(jnp.float32)  # (C, 1)
-        wy = jnp.where(jy == jf, 1.0 - wy1, wy1)
-        base = obj * wy * row_ok  # (C, 1)
+        base0 = obj * (1.0 - wy1) * row_ok  # own (floor) plane
+        base1 = obj * wy1 * row_ok          # spill to plane j+1
 
         def rot_step(ti, _):
             a_parts = []
@@ -103,7 +106,6 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
             for r in range(Rc):
                 t = ti * Rc + r
                 theta = t.astype(jnp.float32) * dtheta
-                rot_ok = (t < num_rots).astype(jnp.float32)
                 c = jnp.cos(theta)
                 s = jnp.sin(theta)
                 ux = px - c * corx + s * corz     # (C, 1)
@@ -111,52 +113,54 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
                 ok = (
                     (ux >= 0.0) & (ux < dims_x - 1.0)
                     & (uz >= 0.0) & (uz < dims_z - 1.0)
-                ).astype(jnp.float32) * rot_ok
+                ).astype(jnp.float32)
+                if num_rots % Rc:
+                    ok = ok * (t < num_rots).astype(jnp.float32)
 
-                fx = jnp.floor(ux)
-                fz = jnp.floor(uz)
-                wx1 = ux - fx
-                wz1 = uz - fz
-                ixi = fx.astype(jnp.int32)
-                izi = fz.astype(jnp.int32)
+                # bilinear tents: max(0, 1 - |col - u|) hits exactly the
+                # floor/ceil cells with weights (1 - frac, frac)
+                ax = jnp.maximum(1.0 - jnp.abs(colx - ux), 0.0)  # (C, gx)
+                czr = jnp.maximum(1.0 - jnp.abs(colz - uz), 0.0)  # (C, gz)
 
-                ax = (
-                    (colx == ixi).astype(jnp.float32) * (1.0 - wx1)
-                    + (colx == ixi + 1).astype(jnp.float32) * wx1
-                )  # (C, gx)
-                czr = (
-                    (colz == izi).astype(jnp.float32) * (1.0 - wz1)
-                    + (colz == izi + 1).astype(jnp.float32) * wz1
-                )  # (C, gz)
-
-                b = base * ok  # (C, 1)
+                b0 = base0 * ok  # (C, 1)
+                b1 = base1 * ok
                 axb = ax.astype(jnp.bfloat16)
                 if channels == 1:
                     # obj-only fast path (see hough_voting_obj)
-                    a6r = b.astype(jnp.bfloat16) * axb  # (C, gx)
+                    a2r = jnp.concatenate(
+                        [b0.astype(jnp.bfloat16) * axb,
+                         b1.astype(jnp.bfloat16) * axb], axis=1,
+                    )  # (C, 2*gx)
                 else:
-                    # channels: [obj, obj*cos, obj*sin, obj*sx, obj*sy, obj*sz]
-                    a6r = jnp.concatenate(
+                    # channels: [obj, obj*cos, obj*sin, obj*sx, obj*sy,
+                    # obj*sz], own plane then spill plane
+                    a2r = jnp.concatenate(
                         [
-                            (b * 1.0).astype(jnp.bfloat16) * axb,
-                            (b * c).astype(jnp.bfloat16) * axb,
-                            (b * s).astype(jnp.bfloat16) * axb,
-                            (b * sx).astype(jnp.bfloat16) * axb,
-                            (b * sy).astype(jnp.bfloat16) * axb,
-                            (b * sz).astype(jnp.bfloat16) * axb,
+                            (b0 * 1.0).astype(jnp.bfloat16) * axb,
+                            (b0 * c).astype(jnp.bfloat16) * axb,
+                            (b0 * s).astype(jnp.bfloat16) * axb,
+                            (b0 * sx).astype(jnp.bfloat16) * axb,
+                            (b0 * sy).astype(jnp.bfloat16) * axb,
+                            (b0 * sz).astype(jnp.bfloat16) * axb,
+                            (b1 * 1.0).astype(jnp.bfloat16) * axb,
+                            (b1 * c).astype(jnp.bfloat16) * axb,
+                            (b1 * s).astype(jnp.bfloat16) * axb,
+                            (b1 * sx).astype(jnp.bfloat16) * axb,
+                            (b1 * sy).astype(jnp.bfloat16) * axb,
+                            (b1 * sz).astype(jnp.bfloat16) * axb,
                         ],
                         axis=1,
-                    )  # (C, 6*gx)
-                a_parts.append(a6r)
+                    )  # (C, 12*gx)
+                a_parts.append(a2r)
                 c_parts.append(czr.astype(jnp.bfloat16))
 
-            a6 = jnp.concatenate(a_parts, axis=0)   # (Rc*C, channels*gx)
+            a2 = jnp.concatenate(a_parts, axis=0)   # (Rc*C, 2*ch*gx)
             czm = jnp.concatenate(c_parts, axis=0)  # (Rc*C, gz)
             update = jax.lax.dot_general(
-                a6, czm,
+                a2, czm,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (channels*gx, gz)
+            )  # (2*ch*gx, gz)
             out_ref[0] += update
             return 0
 
@@ -225,14 +229,13 @@ def hv_splat_pallas(
     order = jnp.argsort(key)
     sort_keys = key[order]
     data = data[order]
-    data = data.at[:, _JY].set(sort_keys.astype(jnp.float32))
     # pad so chunk DMAs never run off the end
     data = jnp.concatenate(
         [data, jnp.zeros((chunk_points, _NCOLS), jnp.float32)], axis=0
     )
 
     planes = jnp.arange(gy, dtype=jnp.int32)
-    starts = jnp.searchsorted(sort_keys, planes - 1, side="left").astype(jnp.int32)
+    starts = jnp.searchsorted(sort_keys, planes, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sort_keys, planes + 1, side="left").astype(jnp.int32)
     dims_xz = jnp.stack([dims[0], dims[2]]).astype(jnp.int32)
 
@@ -246,7 +249,7 @@ def hv_splat_pallas(
         grid=(gy,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, channels * gx, gz), lambda j, *_: (j, 0, 0),
+            (1, 2 * channels * gx, gz), lambda j, *_: (j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -257,10 +260,14 @@ def hv_splat_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gy, channels * gx, gz), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gy, 2 * channels * gx, gz),
+                                       jnp.float32),
         interpret=interpret,
     )(starts, ends, dims_xz, data)
 
+    # combine: plane j = own(j) + spill(j - 1)
+    out = out.reshape(gy, 2, channels, gx, gz)
+    own, spill = out[:, 0], out[:, 1]
+    grid = own + jnp.pad(spill[:-1], ((1, 0), (0, 0), (0, 0), (0, 0)))
     # (Gy, ch, Gx, Gz) -> (Gx, Gy, Gz, ch)
-    out = out.reshape(gy, channels, gx, gz)
-    return jnp.transpose(out, (2, 0, 3, 1))
+    return jnp.transpose(grid, (2, 0, 3, 1))

@@ -1,35 +1,55 @@
 """Pallas TPU kernel: occupied-tile submanifold Conv3D with fused epilogue.
 
 XLA's dense Conv3D over the scene's bounding grid runs at ~15-20% MXU
-utilization and computes every cell, but a surface scan occupies only
-~30-40% of (8, 8, 32) tiles (and ~1-2% of cells). This kernel convolves ONLY
-the occupied tiles:
+utilization and computes every cell, but a surface scan occupies only ~2% of
+L0 cells. This kernel convolves ONLY the occupied tiles:
 
-  * the host lists occupied tile coordinates (scalar-prefetched);
-  * each grid program DMAs its tile + halo from the zero-padded dense
-    input in HBM, accumulates the k^3 kernel taps as MXU matmuls — the k^2
-    (dx, dy) taps of each dz concatenated along the contraction dim so the
-    MXU accumulates them internally — and DMAs the tile interior back out;
+  * the host lists occupied tile coordinates (scalar-prefetched, flat
+    encoded — SMEM lane-pads 2D operands to 128 lanes, so a (T, 3) list
+    overflows the 1 MB SMEM beyond ~2k tiles);
+  * each grid step processes a GROUP of G tiles (small tiles track the
+    occupied surface 2-3x more tightly than large ones — (4, 4, 8) covers
+    2.4x fewer cells than (8, 8, 32) on ScanNet-scale scenes — and batching
+    G of them keeps the matmul rows MXU-sized). Per-tile DMA issue cost
+    (~1 us each) is the limiting factor at fine tiles, so each tile moves
+    with exactly ONE input DMA and ONE output DMA;
+  * the k^3 taps reach the MXU as k accumulating matmuls over contiguous
+    zero-copy views: TX is the OUTERMOST scratch dim so the k dx-shifted
+    operands are dense, and the (dz, dy) taps are folded into the lane dim
+    by k^2 in-VMEM window copies into a (rows, k^2*cin) buffer (the VPU
+    relayout cost of those copies is ~1/3 of an im2col done at matmul
+    operand granularity);
+  * ALL activation grids carry baked-in zero margins (MX, MY, MZ) = (2, 2, 8)
+    and 128-multiple lane counts: windows never go out of bounds (no
+    per-conv jnp.pad full-grid copies), and the z margin keeps every DMA's
+    sublane (z) start 8-aligned, which Mosaic requires;
   * input, residual and occupancy DMAs are double-buffered across grid
-    steps, so tile t+1's loads and tile t-1's store overlap tile t's
+    steps, so group t+1's loads and group t-1's stores overlap group t's
     matmuls;
   * an optional fused epilogue applies, in reference order (conv -> mask ->
     BN -> +residual -> relu; see /root/reference/utils/resnet.py blocks):
     per-channel affine (inference BatchNorm), the tile's occupancy mask,
-    a residual-grid add, and ReLU — replacing three full-grid elementwise
-    passes per block;
+    a residual add — either a plain grid or a fused 1x1-conv + BN-affine
+    "downsample" branch computed from the residual window — and ReLU,
+    replacing three full-grid elementwise passes per block;
   * the output buffer is donated zeros (input_output_aliased), so cells in
     unoccupied tiles — which are all unoccupied cells — stay exactly zero.
 
-Supports k=3 (halo 1) and k=5 (halo 2). Equality with the dense conv at
-occupied cells is exact (same taps, same weights); see
-tests/test_tiled_conv.py.
+Modes: kernel_size 3/5 (halo via margins), kernel_size 1 (pointwise, no
+fold), and ``prefolded`` for the cin=3 k=5 stem — the (dy, dz) taps are
+folded into lanes by one cheap XLA pass over the 3-channel input
+(fold_dydz), and the kernel only expands dx; a 125-tap in-kernel unroll at
+128 padded lanes would be ~40x wasted DMA.
 
-Mosaic layout notes: the DMA'd z window is 8-sublane-aligned (the host pads
-z by 8; the halo sits at in-tile z offset 8-h), and the channel (lane) dim
-is padded to 128. The z (sublane) shift per dz is hoisted out of the tap
-loop (k relayouts instead of k^3). Occupancy comes packed per tile as
-(T, TX, TY*TZ) so its DMA has a 128-multiple lane dim.
+Equality with the dense conv at occupied cells is exact (same taps, same
+weights); see tests/test_tiled_conv.py. Duplicate tiles in the list (host
+padding to a group multiple) are benign: they recompute and rewrite
+identical bytes.
+
+Replaces the reference's MinkowskiEngine sparse convolution execution
+(reference: /root/reference/utils/minkunet.py:122-180 uses
+ME.MinkowskiConvolution; the kernel-map gather->GEMM->scatter of
+MinkowskiEngine maps poorly to TPU row-gather throughput).
 """
 
 from __future__ import annotations
@@ -43,13 +63,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ZPAD = 8  # host-side z padding; DMA windows must be 8-sublane aligned
+# baked grid margins (x, y, z): zero borders around the interior so conv
+# windows stay in bounds and z windows stay 8-sublane aligned
+MX, MY, MZ = 2, 2, 8
+
+
+def margined_shape(dims: Tuple[int, int, int], channels: int):
+    """Storage shape for an interior (X, Y, Z) grid with C real channels."""
+    cp = int(np.ceil(max(channels, 1) / 128) * 128)
+    return (dims[0] + 2 * MX, dims[1] + 2 * MY, dims[2] + 2 * MZ, cp)
+
+
+def _lanes(c: int) -> int:
+    return int(np.ceil(c / 128) * 128)
 
 
 def _kernel(tiles_ref, *args,
-            TX: int, TY: int, TZ: int, cin: int, cout: int, k: int,
-            n_tiles: int, group_dz: bool, out_dtype,
-            has_affine: bool, has_occ: bool, has_res: bool, relu_out: bool):
+            TX: int, TY: int, TZ: int, cin_p: int, cin_r: int, cout: int,
+            k: int, n_steps: int, G: int, NTY: int, NTZ: int, out_dtype,
+            prefolded: bool, compact: bool, has_affine: bool, has_occ: bool,
+            has_res: bool, has_res_w: bool, res_cp: int, relu_out: bool):
     h = k // 2
     it = iter(args)
     x_hbm = next(it)
@@ -57,9 +90,12 @@ def _kernel(tiles_ref, *args,
     ab_ref = next(it) if has_affine else None
     occ_hbm = next(it) if has_occ else None
     res_hbm = next(it) if has_res else None
+    rw_ref = next(it) if has_res_w else None
+    rab_ref = next(it) if has_res_w else None
     _zeros = next(it)
     out_ref = next(it)
     in_tile = next(it)
+    zbuf = next(it) if (k > 1 and not prefolded) else None
     acc = next(it)
     occ_tile = next(it) if has_occ else None
     res_tile = next(it) if has_res else None
@@ -69,44 +105,56 @@ def _kernel(tiles_ref, *args,
     sem_res = next(it) if has_res else None
 
     t = pl.program_id(0)
+    pointwise = (k == 1) or prefolded
+    # window extents: prefolded/k=1 need no y/z halo (folded / pointwise)
+    wx = TX + 2 * h
+    wy = TY if pointwise else TY + 2 * h
+    wz = TZ if pointwise else TZ + 2 * MZ
 
-    def txyz(tile_idx):
-        return (tiles_ref[tile_idx, 0] * TX, tiles_ref[tile_idx, 1] * TY,
-                tiles_ref[tile_idx, 2] * TZ)
+    def txyz(step, g):
+        i = tiles_ref[step * G + g]
+        return ((i // (NTY * NTZ)) * TX, ((i // NTZ) % NTY) * TY,
+                (i % NTZ) * TZ)
 
-    def in_dma(slot, tile_idx):
-        tx, ty, tz = txyz(tile_idx)
+    def in_dma(slot, step, g):
+        tx, ty, tz = txyz(step, g)
+        y0 = ty + MY if pointwise else ty + MY - h
+        z0 = tz + MZ if pointwise else tz  # [tz, tz + TZ + 2*MZ) is aligned
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(tx, TX + 2 * h), pl.ds(ty, TY + 2 * h),
-                     pl.ds(tz, TZ + 2 * _ZPAD), :],
-            in_tile.at[slot], sem_in.at[slot],
+            x_hbm.at[pl.ds(tx + MX - h, wx), pl.ds(y0, wy), pl.ds(z0, wz), :],
+            in_tile.at[slot, :, g], sem_in.at[slot, g],
         )
 
-    def occ_dma(slot, tile_idx):
+    def occ_dma(slot, step):
+        # tile rows are consecutive: one DMA covers the whole group
         return pltpu.make_async_copy(
-            occ_hbm.at[tile_idx], occ_tile.at[slot], sem_occ.at[slot]
+            occ_hbm.at[pl.ds(step * G, G)], occ_tile.at[slot],
+            sem_occ.at[slot],
         )
 
-    def res_dma(slot, tile_idx):
-        tx, ty, tz = txyz(tile_idx)
+    def res_dma(slot, step, g):
+        tx, ty, tz = txyz(step, g)
         return pltpu.make_async_copy(
-            res_hbm.at[pl.ds(tx, TX), pl.ds(ty, TY), pl.ds(tz, TZ), :],
-            res_tile.at[slot], sem_res.at[slot],
+            res_hbm.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
+                       pl.ds(tz + MZ, TZ), :],
+            res_tile.at[slot, :, g], sem_res.at[slot, g],
         )
 
-    def start_in(slot, tile_idx):
-        in_dma(slot, tile_idx).start()
+    def start_in(slot, step):
+        for g in range(G):
+            in_dma(slot, step, g).start()
+            if has_res:
+                res_dma(slot, step, g).start()
         if has_occ:
-            occ_dma(slot, tile_idx).start()
-        if has_res:
-            res_dma(slot, tile_idx).start()
+            occ_dma(slot, step).start()
 
-    def out_dma(slot, tile_idx):
-        tx, ty, tz = txyz(tile_idx)
+    def out_dma(slot, step, g):
+        tx, ty, tz = txyz(step, g)
         return pltpu.make_async_copy(
-            acc.at[slot],
-            out_ref.at[pl.ds(tx, TX), pl.ds(ty, TY), pl.ds(tz, TZ), :],
-            sem_out.at[slot],
+            acc.at[slot, :, g],
+            out_ref.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
+                       pl.ds(tz + MZ, TZ), :],
+            sem_out.at[slot, g],
         )
 
     slot = jax.lax.rem(t, 2)
@@ -116,112 +164,191 @@ def _kernel(tiles_ref, *args,
     def _():
         start_in(slot, t)
 
-    @pl.when(t + 1 < n_tiles)
+    @pl.when(t + 1 < n_steps)
     def _():
         start_in(nxt, t + 1)
 
-    in_dma(slot, t).wait()
+    for g in range(G):
+        in_dma(slot, t, g).wait()
+        if has_res:
+            res_dma(slot, t, g).wait()
     if has_occ:
         occ_dma(slot, t).wait()
-    if has_res:
-        res_dma(slot, t).wait()
 
     # acc[slot] is still being stored from step t-2; wait before overwriting
     @pl.when(t >= 2)
     def _():
-        out_dma(slot, t - 2).wait()
+        for g in range(G):
+            out_dma(slot, t - 2, g).wait()
 
     cells = TX * TY * TZ
-    z0 = _ZPAD - h  # halo start in the z window
-    # hoist the z-shift out of the tap loop: slicing the z (sublane) dim at
-    # a non-8-aligned offset relayouts the whole window, so do it once per
-    # dz (k copies) instead of once per tap (k^3 copies); the (dx, dy)
-    # leading-dim slices + reshape merges below are free
-    zwin = [
-        in_tile[slot, :, :, z0 + dz:z0 + dz + TZ, :] for dz in range(k)
-    ]
-    if group_dz:
-        # kept for benchmarking: full-z-window matmuls, slice the f32
-        # accumulator once per dz (measured slower than the default)
-        cells_f = TX * TY * (TZ + 2 * _ZPAD)
-        acc_g = jnp.zeros((TX, TY, TZ, cout), jnp.float32)
+    rows = G * cells
+    if k > 1 and not prefolded:
+        # (dz, dy) lane fold: k^2 window copies; dx stays a free view below.
+        # compact mode (k^2*cin_real <= 128, e.g. the cin=3 stem) packs the
+        # blocks at the REAL channel stride so even a 125-tap k=5 fold fits
+        # one 128-lane matmul operand
+        z0 = MZ - h
+        stride = cin_r if compact else cin_p
+        used = k * k * stride
+        if used < zbuf.shape[-1]:
+            # zero the pad lanes once: scratch is uninitialized and a NaN
+            # bit pattern would survive 0-weight rows (0 * NaN = NaN)
+            @pl.when(t == 0)
+            def _():
+                zbuf[:, :, :, :, used:] = jnp.zeros(
+                    zbuf.shape[:-1] + (zbuf.shape[-1] - used,), zbuf.dtype)
         for dz in range(k):
-            part = jnp.zeros((cells_f, cout), jnp.float32)
             for dy in range(k):
-                for dx in range(k):
-                    tap = dx + k * dy + k * k * dz
-                    patch = in_tile[slot, dx:dx + TX, dy:dy + TY, :, :]
-                    part = part + jax.lax.dot_general(
-                        patch.reshape(cells_f, cin), w_ref[tap],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-            part = part.reshape(TX, TY, TZ + 2 * _ZPAD, cout)
-            acc_g = acc_g + part[:, :, z0 + dz:z0 + dz + TZ, :]
-        acc_v = acc_g.reshape(cells, cout)
+                blk = (dz * k + dy) * stride
+                zbuf[:, :, :, :, blk:blk + stride] = (
+                    in_tile[slot, :, :, dy:dy + TY, z0 + dz:z0 + dz + TZ,
+                            :stride]
+                )
+        src = zbuf
+        kw = zbuf.shape[-1]
     else:
-        # per dz, the k^2 (dx, dy) taps are CONCATENATED along the
-        # contraction dim — one (cells, k^2*cin) @ (k^2*cin, cout) matmul —
-        # so the MXU accumulates them internally instead of paying a
-        # (cells, cout) f32 VPU add per tap
-        acc_v = jnp.zeros((cells, cout), jnp.float32)
-        for dz in range(k):
-            a = jnp.concatenate(
-                [
-                    zwin[dz][dx:dx + TX, dy:dy + TY].reshape(cells, cin)
-                    for dy in range(k) for dx in range(k)
-                ],
-                axis=1,
-            )  # (cells, k^2 * cin)
-            wg = w_ref[k * k * dz:k * k * (dz + 1)].reshape(k * k * cin, cout)
-            acc_v = acc_v + jax.lax.dot_general(
-                a, wg,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        src = in_tile[slot]
+        kw = cin_p
+
+    acc_v = None
+    for dx in range(k):
+        a = src[dx:dx + TX].reshape(rows, kw)
+        part = jax.lax.dot_general(
+            a, w_ref[dx],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_v = part if acc_v is None else acc_v + part
 
     # fused epilogue — reference order conv -> BN(mask) -> +res -> relu;
     # affine-then-mask equals mask-then-affine for occ in {0, 1}
     if has_affine:
         acc_v = acc_v * ab_ref[0:1, :] + ab_ref[1:2, :]
     if has_occ:
-        # expand (TX, TY*TZ) packed occupancy to a (cells, 1) column.
-        # A direct reshape is a lane->sublane redistribution Mosaic can't
-        # lower; instead select each cell's row with a tiny one-hot matmul
+        # expand (G, S, 128) packed occupancy (tile-local (x, y, z) cell
+        # order) to a (rows, 1) column in row order (x, g, y, z). A direct
+        # reshape is a lane->sublane redistribution Mosaic can't lower;
+        # instead select each row's packed slab with a tiny one-hot matmul
         # and its lane with an iota compare + lane reduction.
-        ot = occ_tile[slot]                       # (TX, TY*TZ)
-        yz = TY * TZ
-        cell = jax.lax.broadcasted_iota(jnp.int32, (cells, 1), 0)
-        row_oh = (jax.lax.broadcasted_iota(jnp.int32, (cells, TX), 1)
-                  == cell // yz).astype(jnp.float32)
+        S = cells // 128
+        TYZ = TY * TZ
+        ot = occ_tile[slot].reshape(G * S, 128)
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        cell = (r // (G * TYZ)) * TYZ + r % TYZ  # tile-local cell id
+        g_idx = (r // TYZ) % G
+        slab = g_idx * S + cell // 128
+        slab_oh = (jax.lax.broadcasted_iota(jnp.int32, (rows, G * S), 1)
+                   == slab).astype(jnp.float32)
         occ_rows = jax.lax.dot_general(
-            row_oh, ot, dimension_numbers=(((1,), (0,)), ((), ())),
+            slab_oh, ot, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                         # (cells, TY*TZ)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (cells, yz), 1)
-               == cell % yz)
+        )                                         # (rows, 128)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+               == cell % 128)
         occm = jnp.sum(jnp.where(sel, occ_rows, 0.0), axis=1, keepdims=True)
         acc_v = acc_v * occm
     if has_res:
-        acc_v = acc_v + res_tile[slot].reshape(cells, cout).astype(jnp.float32)
+        rrows = res_tile[slot].reshape(rows, res_cp)
+        if has_res_w:
+            # fused downsample branch: 1x1 conv + BN affine + mask
+            rv = jax.lax.dot_general(
+                rrows, rw_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rv = rv * rab_ref[0:1, :] + rab_ref[1:2, :]
+            if has_occ:
+                rv = rv * occm
+        else:
+            rv = rrows.astype(jnp.float32)
+        acc_v = acc_v + rv
     if relu_out:
         acc_v = jnp.maximum(acc_v, 0.0)
 
-    acc[slot] = acc_v.astype(out_dtype).reshape(TX, TY, TZ, cout)
+    acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZ, cout)
 
-    out_dma(slot, t).start()
+    for g in range(G):
+        out_dma(slot, t, g).start()
 
-    @pl.when(t == n_tiles - 1)
+    @pl.when(t == n_steps - 1)
     def _():
-        out_dma(slot, t).wait()
-        if n_tiles >= 2:
-            out_dma(nxt, t - 1).wait()
+        for g in range(G):
+            out_dma(slot, t, g).wait()
+            if n_steps >= 2:
+                out_dma(nxt, t - 1, g).wait()
+
+
+def fold_dydz(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(dy, dz) tap fold for ``prefolded`` mode (the stem).
+
+    x: margined grid (Xm, Ym, Zm, C). Returns (Xm, Ym, Zm, pad128(C*k^2))
+    with lane c*k*k + dz*k + dy holding channel c of x shifted by
+    (dy - h, dz - h) in (y, z) — CHANNEL-major block order, matching
+    _fold_w. Interior rows read at most one margin row, which is zero, so
+    boundary taps are correct; the grid margins (>= h for k <= 5) absorb
+    all shifts.
+
+    Why this construction: every intermediate is a SCALAR 3D grid whose
+    minor dim is Zm — shifted slices of a (..., C) grid, or per-block
+    (..., 1) columns, would each be lane-padded to 128 PHYSICALLY by the
+    TPU layout (a (228, 132, 272, 3) slice occupies 2 GB; k^2 of them OOM
+    the chip). Stacking on the LEADING axis keeps Zm minor (true 16 MB per
+    block); a single native transpose then moves the block axis into lanes,
+    so only the final buffer carries the 128-lane padding.
+    """
+    Xm, Ym, Zm, C = x.shape
+    h = k // 2
+    blocks = []
+    for c in range(C):
+        xc = jnp.pad(x[..., c], ((0, 0), (h, h), (h, h)))
+        for dz in range(k):
+            for dy in range(k):
+                blocks.append(xc[:, dy:dy + Ym, dz:dz + Zm])
+    stacked = jnp.concatenate(
+        [b.reshape(1, Xm, Ym, Zm) for b in blocks], axis=0)
+    # layout break: without it XLA propagates the transpose's lane-major
+    # layout back through the concat, putting the size-1 block axis minor on
+    # every input — each then lane-pads 128x physically (k^2*C x ~2 GB OOM)
+    stacked = jax.lax.optimization_barrier(stacked)
+    xf = jnp.transpose(stacked, (1, 2, 3, 0))
+    lanes = _lanes(k * k * C)
+    return jnp.pad(xf, ((0, 0), (0, 0), (0, 0), (0, lanes - k * k * C)))
+
+
+def _fold_w(w, k, cin, cin_p, cout_p, dtype, prefolded):
+    """(k^3, Cin, Cout) x-fastest -> (k_dx, rows, Cout_p) per-dx matrices.
+
+    Normal mode rows are (dz, dy, cin_p) — each (dz, dy) block zero-padded
+    to cin_p — matching the zbuf lane blocks. Prefolded rows are
+    (c, dz, dy) — matching fold_dydz's channel-major lane order — padded
+    once at the end.
+    """
+    cout = w.shape[-1]
+    wk = w.reshape(k, k, k, cin, cout)           # (dz, dy, dx, c, co)
+    if prefolded:
+        wk = jnp.transpose(wk, (2, 3, 0, 1, 4))  # (dx, c, dz, dy, co)
+        wk = wk.reshape(k, k * k * cin, cout)
+        wk = jnp.pad(wk, ((0, 0), (0, _lanes(k * k * cin) - k * k * cin),
+                          (0, cout_p - cout)))
+    elif k * k * cin <= 128:
+        # compact fold: rows (dz, dy, c) at the real channel stride
+        wk = jnp.transpose(wk, (2, 0, 1, 3, 4))  # (dx, dz, dy, c, co)
+        wk = wk.reshape(k, k * k * cin, cout)
+        wk = jnp.pad(wk, ((0, 0), (0, _lanes(k * k * cin) - k * k * cin),
+                          (0, cout_p - cout)))
+    else:
+        wk = jnp.transpose(wk, (2, 0, 1, 3, 4))  # (dx, dz, dy, c, co)
+        wk = jnp.pad(wk, ((0, 0), (0, 0), (0, 0), (0, cin_p - cin),
+                          (0, cout_p - cout)))
+        wk = wk.reshape(k, k * k * cin_p, cout_p)
+    return wk.astype(dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_shape", "kernel_size", "group_dz", "relu_out",
-                     "interpret"),
+    static_argnames=("tile_shape", "kernel_size", "group", "relu_out",
+                     "prefolded", "interpret"),
 )
 def tiled_conv3d(
     x: jnp.ndarray,
@@ -232,57 +359,85 @@ def tiled_conv3d(
     bias: Optional[jnp.ndarray] = None,
     occ: Optional[jnp.ndarray] = None,
     residual: Optional[jnp.ndarray] = None,
+    res_w: Optional[jnp.ndarray] = None,
+    res_scale: Optional[jnp.ndarray] = None,
+    res_bias: Optional[jnp.ndarray] = None,
     relu_out: bool = False,
-    tile_shape: Tuple[int, int, int] = (8, 8, 32),
+    tile_shape: Tuple[int, int, int] = (4, 4, 8),
     kernel_size: int = 3,
-    group_dz: bool = False,
+    group: int = 16,
+    prefolded: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Submanifold odd-k Conv3D over occupied tiles, with fused epilogue.
 
     Args:
-      x: (X, Y, Z, Cin) dense activations (bf16 or f32); dims divisible by
-        the tile shape.
-      w: (k^3, Cin, Cout) kernel, x-fastest offsets (ops/coords.kernel_offsets).
-      tiles: (T, 3) int32 occupied tile coordinates (grid-units / tile_shape).
+      x: MARGINED grid (X + 2*MX, Y + 2*MY, Z + 2*MZ, Cp) — see
+        margined_shape — bf16 or f32, 128-multiple lanes, zero margins.
+        In ``prefolded`` mode x is fold_dydz's output and only dx expands.
+      w: (k^3, Cin, Cout) kernel, x-fastest offsets
+        (ops/coords.kernel_offsets); Cin = real input channels.
+      tiles: (T, 3) int32 occupied tile coordinates over the INTERIOR
+        (grid-units / tile_shape); T must be a multiple of ``group`` (pad by
+        repeating entries).
       scale, bias: optional (Cout,) per-channel affine applied to the conv
         output (inference BatchNorm folded: scale = gamma*rsqrt(var+eps),
         bias = beta - mean*scale). Both or neither.
-      occ: optional (T, TX, TY*TZ) f32 per-tile occupancy (see pack_occ);
-        output cells with occ == 0 are zeroed.
-      residual: optional (X, Y, Z, Cout) grid added before the ReLU.
+      occ: optional (T, cells/128, 128) f32 per-tile occupancy (see
+        pack_occ); output cells with occ == 0 are zeroed.
+      residual: optional margined grid added before the ReLU. With
+        ``res_w`` (Cr, Cout), the residual rows first pass through a fused
+        1x1 conv + ``res_scale``/``res_bias`` affine + occupancy mask —
+        the BasicBlock "downsample" branch in one kernel.
       relu_out: apply ReLU at the end.
-      tile_shape: static tile dims.
-      kernel_size: 3 or 5 (halo = k//2 <= 8).
-      group_dz: benchmark-only alternative accumulation (slower).
+      tile_shape: static tile dims; TZ % 8 == 0, and TX*TY*TZ % 128 == 0
+        when ``occ`` is used.
+      kernel_size: odd (1, 3 or 5); halo k//2 must fit the margins.
+      group: tiles per grid step, batched into one set of matmuls.
 
-    Returns (X, Y, Z, Cout) with exact conv(+epilogue) values inside
-    occupied tiles and zeros elsewhere.
+    Returns the margined (X + 2*MX, Y + 2*MY, Z + 2*MZ, Cout_p) grid with
+    exact conv(+epilogue) values inside occupied tiles and zeros elsewhere
+    (including the lane padding and margins).
     """
-    X, Y, Z, cin = x.shape
-    _, _, cout = w.shape
+    Xm, Ym, Zm, cp = x.shape
+    X, Y, Z = Xm - 2 * MX, Ym - 2 * MY, Zm - 2 * MZ
+    cin, cout = w.shape[1], w.shape[2]
     k = kernel_size
     h = k // 2
-    assert w.shape[0] == k ** 3 and k % 2 == 1 and h <= _ZPAD
+    assert w.shape[0] == k ** 3 and k % 2 == 1 and h <= min(MX, MY, MZ)
+    assert cp % 128 == 0, "grids must be stored with 128-multiple lanes"
+    if not prefolded:
+        assert cp == _lanes(cin), (cp, cin)
     TX, TY, TZ = tile_shape
-    assert X % TX == 0 and Y % TY == 0 and Z % TZ == 0
+    assert X % TX == 0 and Y % TY == 0 and Z % TZ == 0, (x.shape, tile_shape)
     assert TZ % 8 == 0, "z tile must be sublane-aligned"
     assert (scale is None) == (bias is None)
+    assert res_w is None or residual is not None
+    assert (res_scale is None) == (res_bias is None)
+    assert res_scale is None or res_w is not None
     n_tiles = tiles.shape[0]
+    G = group
+    assert n_tiles % G == 0, "pad the tile list to a group multiple"
+    n_steps = n_tiles // G
     has_affine = scale is not None
     has_occ = occ is not None
     has_res = residual is not None
+    has_res_w = res_w is not None
+    if has_occ:
+        assert (TX * TY * TZ) % 128 == 0, "occ needs cells % 128 == 0"
 
-    # lane (channel) dim of HBM<->VMEM DMAs must be 128-aligned: pad C
-    cin_p = int(np.ceil(cin / 128) * 128)
-    cout_p = int(np.ceil(cout / 128) * 128)
-    xp = jnp.pad(x, ((h, h), (h, h), (_ZPAD, _ZPAD), (0, cin_p - cin)))
-    wp = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
-    out0 = jnp.zeros((X, Y, Z, cout_p), x.dtype)
+    cin_p = cp  # DMA lane width (already padded/folded by the caller)
+    cout_p = _lanes(cout)
+    wf = _fold_w(w, k, cin, cin_p, cout_p, x.dtype, prefolded)
+    out0 = jnp.zeros((Xm, Ym, Zm, cout_p), x.dtype)
 
-    operands = [tiles.astype(jnp.int32), xp, wp.astype(x.dtype)]
+    NTY, NTZ = Y // TY, Z // TZ
+    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
+                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+
+    operands = [tiles_flat, x, wf]
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.HBM),   # x padded
+        pl.BlockSpec(memory_space=pltpu.HBM),   # x (margined)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (whole)
     ]
     if has_affine:
@@ -295,40 +450,67 @@ def tiled_conv3d(
     if has_occ:
         operands.append(occ.astype(jnp.float32))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    res_cp = 0
     if has_res:
-        rp = jnp.pad(residual.astype(x.dtype),
-                     ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
-        operands.append(rp)
+        res_cp = residual.shape[-1]
+        assert res_cp % 128 == 0, "residual grid needs 128-multiple lanes"
+        if not has_res_w:
+            assert res_cp == cout_p, (res_cp, cout_p)
+        operands.append(residual.astype(x.dtype))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    if has_res_w:
+        cr = res_w.shape[0]
+        rw = jnp.pad(res_w, ((0, res_cp - cr), (0, cout_p - cout)))
+        operands.append(rw.astype(x.dtype)[None])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        rs = (res_scale if res_scale is not None
+              else jnp.ones((cout,), jnp.float32))
+        rb = (res_bias if res_bias is not None
+              else jnp.zeros((cout,), jnp.float32))
+        rab = jnp.stack([
+            jnp.pad(rs.astype(jnp.float32), (0, cout_p - cout)),
+            jnp.pad(rb.astype(jnp.float32), (0, cout_p - cout)),
+        ])
+        operands.append(rab)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     operands.append(out0)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # donated zeros
-    zeros_index = len(operands) - 1  # + 1 for the scalar-prefetch operand
+    zeros_index = len(operands) - 1  # includes the scalar-prefetch operand
 
+    pointwise = (k == 1) or prefolded
+    compact = (k > 1 and not prefolded and k * k * cin <= 128)
+    wy = TY if pointwise else TY + 2 * h
+    wz = TZ if pointwise else TZ + 2 * MZ
     scratch = [
-        pltpu.VMEM((2, TX + 2 * h, TY + 2 * h, TZ + 2 * _ZPAD, cin_p),
-                   x.dtype),
-        pltpu.VMEM((2, TX, TY, TZ, cout_p), x.dtype),
+        pltpu.VMEM((2, TX + 2 * h, G, wy, wz, cin_p), x.dtype),
     ]
+    if k > 1 and not prefolded:
+        zb_lanes = _lanes(k * k * cin) if compact else k * k * cin_p
+        scratch.append(
+            pltpu.VMEM((TX + 2 * h, G, TY, TZ, zb_lanes), x.dtype))
+    scratch.append(pltpu.VMEM((2, TX, G, TY, TZ, cout_p), x.dtype))
     if has_occ:
-        scratch.append(pltpu.VMEM((2, TX, TY * TZ), jnp.float32))
+        scratch.append(pltpu.VMEM((2, G, (TX * TY * TZ) // 128, 128),
+                                  jnp.float32))
     if has_res:
-        scratch.append(pltpu.VMEM((2, TX, TY, TZ, cout_p), x.dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_in
-    scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_out
+        scratch.append(pltpu.VMEM((2, TX, G, TY, TZ, res_cp), x.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_in
+    scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_out
     if has_occ:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if has_res:
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        scratch.append(pltpu.SemaphoreType.DMA((2, G)))
 
     kernel = functools.partial(
-        _kernel, TX=TX, TY=TY, TZ=TZ, cin=cin_p, cout=cout_p, k=k,
-        n_tiles=n_tiles, group_dz=group_dz, out_dtype=x.dtype,
-        has_affine=has_affine, has_occ=has_occ, has_res=has_res,
-        relu_out=relu_out,
+        _kernel, TX=TX, TY=TY, TZ=TZ, cin_p=cin_p, cin_r=cin, cout=cout_p,
+        k=k, n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
+        prefolded=prefolded, compact=compact, has_affine=has_affine,
+        has_occ=has_occ, has_res=has_res, has_res_w=has_res_w,
+        res_cp=res_cp, relu_out=relu_out,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
@@ -336,28 +518,39 @@ def tiled_conv3d(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((X, Y, Z, cout_p), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Xm, Ym, Zm, cout_p), x.dtype),
         input_output_aliases={zeros_index: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*operands)[..., :cout]
+    )(*operands)
 
 
-def occupied_tiles(coords_or_flat, dims, tile_shape=(8, 8, 32)):
+def occupied_tiles(coords_or_flat, dims, tile_shape=(4, 4, 8),
+                   pad_multiple: int = 1):
     """Host helper: unique tile coords for L0 voxel coords (N, 3) relative to
-    the dense base (see data.dense_prep)."""
+    the dense base (see data.dense_prep), padded by repeating the last tile
+    to a multiple of ``pad_multiple``. Coordinates are INTERIOR (margins are
+    applied inside the kernel)."""
     c = np.asarray(coords_or_flat)
     t = np.unique(c // np.asarray(tile_shape), axis=0).astype(np.int32)
+    pad = -len(t) % pad_multiple
+    if pad:
+        t = np.concatenate([t, np.repeat(t[-1:], pad, axis=0)], axis=0)
     return t
 
 
 def pack_occ(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
-             tile_shape=(8, 8, 32)) -> jnp.ndarray:
-    """Device helper: gather per-tile occupancy as (T, TX, TY*TZ) f32 from a
-    dense (X, Y, Z) occupancy grid (the packing keeps the DMA lane dim a
-    128 multiple)."""
+             tile_shape=(4, 4, 8)) -> jnp.ndarray:
+    """Device helper: gather per-tile occupancy as (T, cells/128, 128) f32
+    from a MARGINED (Xm, Ym, Zm) occupancy grid (the packing keeps the DMA
+    lane dim a 128 multiple)."""
     TX, TY, TZ = tile_shape
-    X, Y, Z = occ_grid.shape
-    o = occ_grid.reshape(X // TX, TX, Y // TY, TY, Z // TZ, TZ)
+    o = occ_grid[MX:occ_grid.shape[0] - MX, MY:occ_grid.shape[1] - MY,
+                 MZ:occ_grid.shape[2] - MZ]
+    X, Y, Z = o.shape
+    o = o.reshape(X // TX, TX, Y // TY, TY, Z // TZ, TZ)
     o = jnp.transpose(o, (0, 2, 4, 1, 3, 5))  # (ntx, nty, ntz, TX, TY, TZ)
     g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, TX, TY, TZ)
-    return g.reshape(tiles.shape[0], TX, TY * TZ).astype(jnp.float32)
+    return g.reshape(tiles.shape[0], (TX * TY * TZ) // 128,
+                     128).astype(jnp.float32)

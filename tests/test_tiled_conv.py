@@ -4,55 +4,81 @@ import numpy as np
 import pytest
 
 from canonicalvoting_tpu.models.dense_unet import _DN, _to_dense_kernel
-from canonicalvoting_tpu.ops.pallas.tiled_conv import occupied_tiles, tiled_conv3d
+from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+    MX, MY, MZ, fold_dydz, margined_shape, occupied_tiles, pack_occ,
+    tiled_conv3d)
 
 
-@pytest.mark.parametrize("k,group_dz", [(3, False), (3, True), (5, False)])
-def test_tiled_conv_matches_dense_in_occupied_tiles(rng, k, group_dz):
-    X, Y, Z, cin, cout = 16, 16, 64, 8, 16
+def _margined(x):
+    """(X, Y, Z, C) -> margined grid with 128-multiple lanes."""
+    cp = int(np.ceil(x.shape[-1] / 128) * 128)
+    return jnp.pad(jnp.asarray(x), ((MX, MX), (MY, MY), (MZ, MZ),
+                                    (0, cp - x.shape[-1])))
+
+
+def _interior(xm, cout):
+    return np.asarray(xm)[MX:xm.shape[0] - MX, MY:xm.shape[1] - MY,
+                          MZ:xm.shape[2] - MZ, :cout]
+
+
+def _dense_ref(x, w, k):
+    wk = _to_dense_kernel(jnp.asarray(w), k)
+    return np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], wk, (1, 1, 1), [(k // 2, k // 2)] * 3,
+        dimension_numbers=_DN))[0]
+
+
+def _tile_slices(t, ts):
+    return tuple(slice(t[i] * ts[i], (t[i] + 1) * ts[i]) for i in range(3))
+
+
+@pytest.mark.parametrize("k,tile_shape,group,prefolded", [
+    (3, (8, 8, 8), 1, False),
+    (3, (4, 4, 8), 4, False),   # fine tiles, batched groups
+    (3, (4, 4, 8), 8, False),
+    (1, (4, 4, 8), 4, False),   # pointwise
+    (5, (4, 4, 8), 4, True),    # prefolded stem mode
+])
+def test_tiled_conv_matches_dense(rng, k, tile_shape, group, prefolded):
+    X, Y, Z, cin, cout = 16, 16, 32, 8, 16
+    if prefolded:
+        cin = 3
     x = np.zeros((X, Y, Z, cin), np.float32)
-    # occupy a few scattered cells
     occ_cells = rng.randint(0, [X, Y, Z], (200, 3))
     x[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = rng.randn(
-        200, cin
-    ).astype(np.float32)
+        200, cin).astype(np.float32)
     w = rng.randn(k ** 3, cin, cout).astype(np.float32) * 0.2
 
-    tiles = occupied_tiles(occ_cells, (X, Y, Z), (8, 8, 32))
-    got = np.asarray(tiled_conv3d(
-        jnp.asarray(x), jnp.asarray(w), jnp.asarray(tiles),
-        tile_shape=(8, 8, 32), kernel_size=k, group_dz=group_dz,
-        interpret=True,
-    ))
+    tiles = occupied_tiles(occ_cells, (X, Y, Z), tile_shape,
+                           pad_multiple=group)
+    xm = _margined(x)
+    if prefolded:
+        xm = fold_dydz(_margined(x)[..., :cin], k)
+    got = tiled_conv3d(
+        xm, jnp.asarray(w), jnp.asarray(tiles),
+        tile_shape=tile_shape, kernel_size=k, group=group,
+        prefolded=prefolded, interpret=True,
+    )
+    got = _interior(got, cout)
+    ref = _dense_ref(x, w, k)
 
-    wk = _to_dense_kernel(jnp.asarray(w), k)
-    ref = np.asarray(jax.lax.conv_general_dilated(
-        jnp.asarray(x)[None], wk, (1, 1, 1), [(k // 2, k // 2)] * 3,
-        dimension_numbers=_DN,
-    ))[0]
-
-    # exact inside occupied tiles
-    for t in tiles:
-        sl = (slice(t[0] * 8, t[0] * 8 + 8), slice(t[1] * 8, t[1] * 8 + 8),
-              slice(t[2] * 32, t[2] * 32 + 32))
+    for t in tiles:  # exact inside occupied tiles
+        sl = _tile_slices(t, tile_shape)
         np.testing.assert_allclose(got[sl], ref[sl], atol=1e-4)
     # zero outside
-    mask = np.zeros((X // 8, Y // 8, Z // 32), bool)
+    nts = tuple((X, Y, Z)[i] // tile_shape[i] for i in range(3))
+    mask = np.zeros(nts, bool)
     mask[tiles[:, 0], tiles[:, 1], tiles[:, 2]] = True
-    for i in range(X // 8):
-        for j in range(Y // 8):
-            for k in range(Z // 32):
-                if not mask[i, j, k]:
-                    sl = (slice(i * 8, i * 8 + 8), slice(j * 8, j * 8 + 8),
-                          slice(k * 32, k * 32 + 32))
-                    assert np.all(got[sl] == 0)
+    for idx in np.argwhere(~mask):
+        sl = _tile_slices(idx, tile_shape)
+        assert np.all(got[sl] == 0)
 
 
 def test_tiled_conv_fused_epilogue(rng):
-    """affine + occupancy mask + residual + relu epilogue == explicit ops."""
-    from canonicalvoting_tpu.ops.pallas.tiled_conv import pack_occ
-
+    """affine + occupancy mask + fused-downsample residual + relu epilogue
+    == the explicit op sequence of a reference BasicBlock tail."""
     X, Y, Z, cin, cout = 16, 8, 32, 8, 8
+    ts, group = (4, 4, 8), 4
     x = np.zeros((X, Y, Z, cin), np.float32)
     occ_cells = rng.randint(0, [X, Y, Z], (150, 3))
     x[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = rng.randn(
@@ -63,23 +89,42 @@ def test_tiled_conv_fused_epilogue(rng):
     res = rng.randn(X, Y, Z, cout).astype(np.float32)
     occ_grid = np.zeros((X, Y, Z), np.float32)
     occ_grid[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = 1.0
+    occ_m = jnp.pad(jnp.asarray(occ_grid), ((MX, MX), (MY, MY), (MZ, MZ)))
 
-    tiles = jnp.asarray(occupied_tiles(occ_cells, (X, Y, Z), (8, 8, 32)))
-    occp = pack_occ(jnp.asarray(occ_grid), tiles)
+    tiles = jnp.asarray(occupied_tiles(occ_cells, (X, Y, Z), ts,
+                                       pad_multiple=group))
+    occp = pack_occ(occ_m, tiles, ts)
 
-    got = np.asarray(tiled_conv3d(
-        jnp.asarray(x), jnp.asarray(w), tiles,
+    got = tiled_conv3d(
+        _margined(x), jnp.asarray(w), tiles,
         scale=jnp.asarray(scale), bias=jnp.asarray(bias), occ=occp,
-        residual=jnp.asarray(res), relu_out=True, interpret=True,
-    ))
+        residual=_margined(res), relu_out=True, interpret=True,
+        tile_shape=ts, group=group,
+    )
+    got = _interior(got, cout)
 
-    plain = np.asarray(tiled_conv3d(
-        jnp.asarray(x), jnp.asarray(w), tiles, interpret=True,
-    ))
+    plain = _interior(tiled_conv3d(
+        _margined(x), jnp.asarray(w), tiles, interpret=True,
+        tile_shape=ts, group=group,
+    ), cout)
     want = np.maximum((plain * scale + bias) * occ_grid[..., None] + res, 0.0)
-
-    # compare only inside occupied tiles (outside, got is 0 but want = relu(res))
     for t in np.asarray(tiles):
-        sl = (slice(t[0] * 8, t[0] * 8 + 8), slice(t[1] * 8, t[1] * 8 + 8),
-              slice(t[2] * 32, t[2] * 32 + 32))
+        sl = _tile_slices(t, ts)
         np.testing.assert_allclose(got[sl], want[sl], atol=1e-4)
+
+    # fused downsample residual: res passes through 1x1 conv + affine + mask
+    rw = rng.randn(cin, cout).astype(np.float32) * 0.3
+    rs = rng.rand(cout).astype(np.float32) + 0.5
+    rb = rng.randn(cout).astype(np.float32)
+    got2 = _interior(tiled_conv3d(
+        _margined(x), jnp.asarray(w), tiles,
+        scale=jnp.asarray(scale), bias=jnp.asarray(bias), occ=occp,
+        residual=_margined(x), res_w=jnp.asarray(rw),
+        res_scale=jnp.asarray(rs), res_bias=jnp.asarray(rb),
+        relu_out=True, interpret=True, tile_shape=ts, group=group,
+    ), cout)
+    ds = ((x @ rw) * rs + rb) * occ_grid[..., None]
+    want2 = np.maximum((plain * scale + bias) * occ_grid[..., None] + ds, 0.0)
+    for t in np.asarray(tiles):
+        sl = _tile_slices(t, ts)
+        np.testing.assert_allclose(got2[sl], want2[sl], atol=1e-4)
