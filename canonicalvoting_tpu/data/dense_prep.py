@@ -27,8 +27,13 @@ STRIDE_ALIGN = 16
 # scene is sparsest, coarser at L1+ where per-tile DMA issue cost dominates
 TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
     0: ((4, 4, 8), 16),
-    1: ((8, 8, 8), 8),
-    2: ((8, 8, 8), 8),
+    # L1-L3 tile z is 16 so the SAME tile lists serve the transposed-up
+    # kernel (its coarse-input z window offset tz/2 must stay 8-aligned);
+    # the up kernel into L0 reuses the stem's (8, 8, 32) list
+    1: ((8, 8, 16), 4),
+    2: ((8, 8, 16), 2),
+    3: ((4, 4, 16), 4),
+    4: ((2, 8, 8), 4),
 }
 
 # the k=5 stem uses coarser L0 tiles: its per-cell compute is tiny (3 real

@@ -20,7 +20,7 @@ masking:
   * BatchNorm statistics are computed over occupied cells only.
 
 GRID LAYOUT. Every dense grid is MARGINED — stored with (MX, MY, MZ) =
-(2, 2, 8) zero borders around the interior (ops/pallas/tiled_conv.py) — so
+(2, 2, 16) zero borders around the interior (ops/pallas/tiled_conv.py) — so
 Pallas conv windows never go out of bounds (no per-conv full-grid pads) and
 z DMA starts stay 8-sublane aligned. The XLA strided/transposed convs are
 given padding configs that map margined inputs to margined outputs directly
@@ -468,14 +468,20 @@ class DenseMinkUNet(nn.Module):
                 "VALID")
             occ.append(jnp.pad(
                 o, ((0, 0), (MX, MX), (MY, MY), (MZ, MZ))))
-        # per-tile packed occupancy for the fused tiled-conv epilogue
+        # per-tile packed occupancy for the fused tiled-conv epilogue;
+        # the up kernel needs a parity-major pack of the same lists
         occp = {}
+        occp_up = {}
         if tiled:
-            from canonicalvoting_tpu.ops.pallas.tiled_conv import pack_occ
+            from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+                pack_occ, pack_occ_parity)
 
             for key, t in tiles.items():
                 lvl = max(key, 0)  # STEM_KEY (-1) packs L0 occupancy
                 occp[key] = pack_occ(occ[lvl][0], t, tsg[key][0])
+                if tsg[key][0][2] % 16 == 0:  # usable by tiled_up2
+                    occp_up[key] = pack_occ_parity(occ[lvl][0], t,
+                                                   tsg[key][0])
 
         # --- stem
         stem = DenseConv(self.in_channels, self.init_dim, self.stem_kernel,
@@ -497,18 +503,38 @@ class DenseMinkUNet(nn.Module):
             out_p1 = nn.relu(x)
 
         # --- encoder
+        dt_j = jnp.bfloat16 if dt == "bfloat16" else jnp.float32
+        interp = self.conv_impl == "tiled_interpret"
         skips = []
         ch = self.init_dim
         x = out_p1
         for i in range(4):
-            x = DenseConv(ch, ch, 2, stride=2, compute_dtype=dt,
-                          name=f"conv{i + 1}p{1 << i}s2")(x)
-            x = x * occ[i + 1][..., None]
-            x = DenseBatchNorm(ch, axis_name=self.bn_axis,
-                               name=f"bn{i + 1}")(x, occ[i + 1], train, mom)
-            x = nn.relu(x)
-            if tiled and (i + 1) in tiles:
-                x = pad_lanes(x, _lanes(ch))
+            dn = DenseConv(ch, ch, 2, stride=2, compute_dtype=dt,
+                           name=f"conv{i + 1}p{1 << i}s2")
+            bn = DenseBatchNorm(ch, axis_name=self.bn_axis,
+                                name=f"bn{i + 1}")
+            key = i + 1
+            if tiled and key in tiles:
+                from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+                    tiled_down2)
+
+                # fused stride-2 down conv + mask + BN + relu over the
+                # coarse level's occupied tiles
+                wd = dn(None, return_kernel=True)
+                a, b = bn(None, None, False, return_affine=True)
+                ts, g = tsg[key]
+                x = tiled_down2(
+                    pad_lanes(x[0].astype(dt_j), _lanes(ch)),
+                    wd.astype(dt_j), tiles[key], scale=a, bias=b,
+                    occ=occp[key], relu_out=True, tile_shape=ts, group=g,
+                    interpret=interp)[None]
+            else:
+                x = dn(x)
+                x = x * occ[i + 1][..., None]
+                x = bn(x, occ[i + 1], train, mom)
+                x = nn.relu(x)
+                if tiled and (i + 1) in tiles:
+                    x = pad_lanes(x, _lanes(ch))
             x, ch = self._blocks(f"block{i + 1}", x, occ[i + 1], ch, pl_[i],
                                  ly[i], train, mom, tiles=tiles.get(i + 1),
                                  ts_group=tsg.get(i + 1),
@@ -520,18 +546,41 @@ class DenseMinkUNet(nn.Module):
         x = skips[3]
         for d in range(4):
             lvl = 3 - d
-            x = DenseConv(ch, pl_[4 + d], 2, stride=2, transpose=True,
-                          compute_dtype=dt,
-                          name=f"convtr{4 + d}p{1 << (lvl + 1)}s2")(x)
-            x = x * occ[lvl][..., None]
-            x = DenseBatchNorm(pl_[4 + d], axis_name=self.bn_axis,
-                               name=f"bntr{4 + d}")(x, occ[lvl], train, mom)
-            x = nn.relu(x)
+            up = DenseConv(ch, pl_[4 + d], 2, stride=2, transpose=True,
+                           compute_dtype=dt,
+                           name=f"convtr{4 + d}p{1 << (lvl + 1)}s2")
+            bn = DenseBatchNorm(pl_[4 + d], axis_name=self.bn_axis,
+                                name=f"bntr{4 + d}")
             skip = skips[lvl - 1] if lvl >= 1 else out_p1
-            x = jnp.concatenate([x, skip[..., :skip_chs[lvl]]], axis=-1)
+            # up into L0 rides the stem's coarser (8, 8, 32) tile list; the
+            # finer levels reuse their block tile lists (z sized for the
+            # up kernel's alignment constraint)
+            up_key = STEM_KEY if lvl == 0 else lvl
+            if tiled and up_key in occp_up:
+                from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+                    tiled_up2)
+
+                # fused transposed conv + mask + BN + relu + skip concat
+                wu = up(None, return_kernel=True)
+                a, b = bn(None, None, False, return_affine=True)
+                ts, g = tsg[up_key]
+                x = tiled_up2(
+                    pad_lanes(x[0].astype(dt_j), _lanes(ch)),
+                    wu.astype(dt_j), tiles[up_key], scale=a, bias=b,
+                    occ=occp_up[up_key],
+                    skip=pad_lanes(skip[0].astype(dt_j),
+                                   _lanes(skip.shape[-1])),
+                    skip_c=skip_chs[lvl], relu_out=True, tile_shape=ts,
+                    group=g, interpret=interp)[None]
+            else:
+                x = up(x)
+                x = x * occ[lvl][..., None]
+                x = bn(x, occ[lvl], train, mom)
+                x = nn.relu(x)
+                x = jnp.concatenate([x, skip[..., :skip_chs[lvl]]], axis=-1)
+                if tiled and lvl in tiles:
+                    x = pad_lanes(x, _lanes(pl_[4 + d] + skip_chs[lvl]))
             ch = pl_[4 + d] + skip_chs[lvl]
-            if tiled and lvl in tiles:
-                x = pad_lanes(x, _lanes(ch))
             x, ch = self._blocks(f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d],
                                  ly[4 + d], train, mom, tiles=tiles.get(lvl),
                                  ts_group=tsg.get(lvl), occp=occp.get(lvl))

@@ -19,7 +19,7 @@ L0 cells. This kernel convolves ONLY the occupied tiles:
     by k^2 in-VMEM window copies into a (rows, k^2*cin) buffer (the VPU
     relayout cost of those copies is ~1/3 of an im2col done at matmul
     operand granularity);
-  * ALL activation grids carry baked-in zero margins (MX, MY, MZ) = (2, 2, 8)
+  * ALL activation grids carry baked-in zero margins (MX, MY, MZ) = (2, 2, 16)
     and 128-multiple lane counts: windows never go out of bounds (no
     per-conv jnp.pad full-grid copies), and the z margin keeps every DMA's
     sublane (z) start 8-aligned, which Mosaic requires;
@@ -64,8 +64,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # baked grid margins (x, y, z): zero borders around the interior so conv
-# windows stay in bounds and z windows stay 8-sublane aligned
-MX, MY, MZ = 2, 2, 8
+# windows stay in bounds and z windows stay 8-sublane aligned. MZ is 16 so
+# the grid's z-PAIR view (a free reshape folding (z, c) -> (z/2, 2c), used
+# by the stride-2 level-transition kernels to express parity selection as
+# lane blocks — Mosaic has no strided vector slicing) keeps 8-aligned pair
+# offsets: interior pair start = MZ/2 = 8.
+MX, MY, MZ = 2, 2, 16
 
 
 def margined_shape(dims: Tuple[int, int, int], channels: int):
@@ -109,7 +113,7 @@ def _kernel(tiles_ref, *args,
     # window extents: prefolded/k=1 need no y/z halo (folded / pointwise)
     wx = TX + 2 * h
     wy = TY if pointwise else TY + 2 * h
-    wz = TZ if pointwise else TZ + 2 * MZ
+    wz = TZ if pointwise else TZ + 16
 
     def txyz(step, g):
         i = tiles_ref[step * G + g]
@@ -119,7 +123,8 @@ def _kernel(tiles_ref, *args,
     def in_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
         y0 = ty + MY if pointwise else ty + MY - h
-        z0 = tz + MZ if pointwise else tz  # [tz, tz + TZ + 2*MZ) is aligned
+        # [tz + MZ - 8, ..+ TZ + 16) is 8-aligned and covers the +-h halo
+        z0 = tz + MZ if pointwise else tz + MZ - 8
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(tx + MX - h, wx), pl.ds(y0, wy), pl.ds(z0, wz), :],
             in_tile.at[slot, :, g], sem_in.at[slot, g],
@@ -188,7 +193,7 @@ def _kernel(tiles_ref, *args,
         # compact mode (k^2*cin_real <= 128, e.g. the cin=3 stem) packs the
         # blocks at the REAL channel stride so even a 125-tap k=5 fold fits
         # one 128-lane matmul operand
-        z0 = MZ - h
+        z0 = 8 - h  # halo offset within the [tz + MZ - 8, ...) window
         stride = cin_r if compact else cin_p
         used = k * k * stride
         if used < zbuf.shape[-1]:
@@ -480,7 +485,7 @@ def tiled_conv3d(
     pointwise = (k == 1) or prefolded
     compact = (k > 1 and not prefolded and k * k * cin <= 128)
     wy = TY if pointwise else TY + 2 * h
-    wz = TZ if pointwise else TZ + 2 * MZ
+    wz = TZ if pointwise else TZ + 16
     scratch = [
         pltpu.VMEM((2, TX + 2 * h, G, wy, wz, cin_p), x.dtype),
     ]
@@ -554,3 +559,593 @@ def pack_occ(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
     g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, TX, TY, TZ)
     return g.reshape(tiles.shape[0], (TX * TY * TZ) // 128,
                      128).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Strided level-transition kernels: stride-2 k=2 "down" conv and its
+# transpose ("up"), over occupied tiles of the OUTPUT level, with the same
+# fused BN-affine / occupancy-mask / ReLU epilogue as tiled_conv3d. The up
+# kernel additionally fuses the U-Net skip concatenation: it copies the skip
+# grid's channels into its output lanes after the conv block, producing the
+# next block's input grid directly (the XLA concat alone was a full-L0-grid
+# copy pass). Replaces reference MinkowskiConvolution(stride=2) /
+# MinkowskiConvolutionTranspose (utils/minkunet.py:57-118).
+# ---------------------------------------------------------------------------
+
+
+def _down2_kernel(tiles_ref, *args,
+                  TX, TY, TZ, cin_p, cout, n_steps, G, NTY, NTZ, out_dtype,
+                  has_affine, has_occ, relu_out):
+    it = iter(args)
+    x_hbm = next(it)        # margined FINE grid
+    w_ref = next(it)        # (8*cin_p, cout)
+    ab_ref = next(it) if has_affine else None
+    occ_hbm = next(it) if has_occ else None
+    _zeros = next(it)
+    out_ref = next(it)
+    in_tile = next(it)      # (2, 2TX, G, 2TY, 2TZ, cin_p)
+    zbuf = next(it)         # (TX, G, TY, TZ, 8*cin_p)
+    acc = next(it)
+    occ_tile = next(it) if has_occ else None
+    sem_in = next(it)
+    sem_out = next(it)
+    sem_occ = next(it) if has_occ else None
+
+    t = pl.program_id(0)
+
+    def txyz(step, g):
+        i = tiles_ref[step * G + g]
+        return ((i // (NTY * NTZ)) * TX, ((i // NTZ) % NTY) * TY,
+                (i % NTZ) * TZ)
+
+    def in_dma(slot, step, g):
+        tx, ty, tz = txyz(step, g)
+        # x_hbm is the fine grid's z-PAIR view: one fine z-pair per coarse
+        # cell, so the window's pair extent is exactly TZ and its offset
+        # tz + MZ/2 stays 8-aligned
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(2 * tx + MX, 2 * TX), pl.ds(2 * ty + MY, 2 * TY),
+                     pl.ds(tz + MZ // 2, TZ), :],
+            in_tile.at[slot, :, g], sem_in.at[slot, g],
+        )
+
+    def occ_dma(slot, step):
+        return pltpu.make_async_copy(
+            occ_hbm.at[pl.ds(step * G, G)], occ_tile.at[slot],
+            sem_occ.at[slot],
+        )
+
+    def start_in(slot, step):
+        for g in range(G):
+            in_dma(slot, step, g).start()
+        if has_occ:
+            occ_dma(slot, step).start()
+
+    def out_dma(slot, step, g):
+        tx, ty, tz = txyz(step, g)
+        return pltpu.make_async_copy(
+            acc.at[slot, :, g],
+            out_ref.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
+                       pl.ds(tz + MZ, TZ), :],
+            sem_out.at[slot, g],
+        )
+
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_in(slot, t)
+
+    @pl.when(t + 1 < n_steps)
+    def _():
+        start_in(nxt, t + 1)
+
+    for g in range(G):
+        in_dma(slot, t, g).wait()
+    if has_occ:
+        occ_dma(slot, t).wait()
+
+    @pl.when(t >= 2)
+    def _():
+        for g in range(G):
+            out_dma(slot, t - 2, g).wait()
+
+    cells = TX * TY * TZ
+    rows = G * cells
+    # stride 2 == kernel 2: taps partition the window — fold all 8 into
+    # lanes, one matmul total, no halo. Parity selection must avoid strided
+    # vector slicing (Mosaic can't lower it): x/y parities come from a free
+    # leading-dim reshape-split + integer index, and the z parity is a lane
+    # block of the grid's z-pair view
+    wr = in_tile[slot].reshape(TX, 2, G, TY, 2, TZ, 2 * cin_p)
+    for dz in range(2):
+        for dy in range(2):
+            for dx in range(2):
+                d = dx + 2 * dy + 4 * dz
+                zbuf[:, :, :, :, d * cin_p:(d + 1) * cin_p] = (
+                    wr[:, dx, :, :, dy, :, dz * cin_p:(dz + 1) * cin_p]
+                )
+    acc_v = jax.lax.dot_general(
+        zbuf[...].reshape(rows, 8 * cin_p), w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    if has_affine:
+        acc_v = acc_v * ab_ref[0:1, :] + ab_ref[1:2, :]
+    if has_occ:
+        S = cells // 128
+        TYZ = TY * TZ
+        ot = occ_tile[slot].reshape(G * S, 128)
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        cell = (r // (G * TYZ)) * TYZ + r % TYZ
+        g_idx = (r // TYZ) % G
+        slab = g_idx * S + cell // 128
+        slab_oh = (jax.lax.broadcasted_iota(jnp.int32, (rows, G * S), 1)
+                   == slab).astype(jnp.float32)
+        occ_rows = jax.lax.dot_general(
+            slab_oh, ot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+               == cell % 128)
+        occm = jnp.sum(jnp.where(sel, occ_rows, 0.0), axis=1, keepdims=True)
+        acc_v = acc_v * occm
+    if relu_out:
+        acc_v = jnp.maximum(acc_v, 0.0)
+
+    acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZ, cout)
+
+    for g in range(G):
+        out_dma(slot, t, g).start()
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for g in range(G):
+            out_dma(slot, t, g).wait()
+            if n_steps >= 2:
+                out_dma(nxt, t - 1, g).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_shape", "group", "relu_out", "interpret"),
+)
+def tiled_down2(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    tiles: jnp.ndarray,
+    *,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    occ: Optional[jnp.ndarray] = None,
+    relu_out: bool = False,
+    tile_shape: Tuple[int, int, int] = (8, 8, 8),
+    group: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stride-2 k=2 conv over occupied COARSE tiles with fused epilogue.
+
+    x: margined FINE grid (2X + 2MX, 2Y + 2MY, 2Z + 2MZ, cin_p) with
+    128-multiple lanes; w: (8, Cin, Cout) x-fastest offsets
+    (idx = dx + 2dy + 4dz, semantics out[o] = sum_d W[d] @ in[2o + d] —
+    reference stride-2 MinkowskiConvolution). tiles index the coarse
+    interior. Returns the margined coarse grid (..., Cout_p).
+    """
+    Xm, Ym, Zm, cp = x.shape
+    Xf, Yf, Zf = Xm - 2 * MX, Ym - 2 * MY, Zm - 2 * MZ
+    X, Y, Z = Xf // 2, Yf // 2, Zf // 2
+    cin, cout = w.shape[1], w.shape[2]
+    assert w.shape[0] == 8 and cp == _lanes(cin)
+    TX, TY, TZ = tile_shape
+    assert X % TX == 0 and Y % TY == 0 and Z % TZ == 0
+    assert TZ % 8 == 0
+    assert (scale is None) == (bias is None)
+    n_tiles = tiles.shape[0]
+    G = group
+    assert n_tiles % G == 0
+    n_steps = n_tiles // G
+    has_affine = scale is not None
+    has_occ = occ is not None
+    if has_occ:
+        assert (TX * TY * TZ) % 128 == 0
+
+    cin_p = cp
+    cout_p = _lanes(cout)
+    # (8, cin, cout) -> (8*cin_p, cout_p), row blocks (d, c)
+    wf = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
+    wf = wf.reshape(8 * cin_p, cout_p).astype(x.dtype)[None]
+    x = x.reshape(Xm, Ym, Zm // 2, 2 * cp)  # free z-pair view
+    out0 = jnp.zeros((X + 2 * MX, Y + 2 * MY, Z + 2 * MZ, cout_p), x.dtype)
+
+    NTY, NTZ = Y // TY, Z // TZ
+    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
+                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+
+    operands = [tiles_flat, x, wf]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if has_affine:
+        ab = jnp.stack([
+            jnp.pad(scale.astype(jnp.float32), (0, cout_p - cout)),
+            jnp.pad(bias.astype(jnp.float32), (0, cout_p - cout)),
+        ])
+        operands.append(ab)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if has_occ:
+        operands.append(occ.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    operands.append(out0)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    zeros_index = len(operands) - 1
+
+    scratch = [
+        pltpu.VMEM((2, 2 * TX, G, 2 * TY, TZ, 2 * cin_p), x.dtype),
+        pltpu.VMEM((TX, G, TY, TZ, 8 * cin_p), x.dtype),
+        pltpu.VMEM((2, TX, G, TY, TZ, cout_p), x.dtype),
+    ]
+    if has_occ:
+        scratch.append(pltpu.VMEM((2, G, (TX * TY * TZ) // 128, 128),
+                                  jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, G)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, G)))
+    if has_occ:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    kernel = functools.partial(
+        _down2_kernel, TX=TX, TY=TY, TZ=TZ, cin_p=cin_p, cout=cout_p,
+        n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
+        has_affine=has_affine, has_occ=has_occ, relu_out=relu_out,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out0.shape, x.dtype),
+        input_output_aliases={zeros_index: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+
+def _up2_kernel(tiles_ref, *args,
+                TX, TY, TZ, cin_p, cout, cout_r, out_lanes, skip_c, skl,
+                n_steps, G, NTY, NTZ, out_dtype, has_affine, has_occ,
+                has_skip, relu_out):
+    it = iter(args)
+    x_hbm = next(it)        # margined COARSE grid (plain view)
+    w_ref = next(it)        # (8, cin_p, cout)
+    ab_ref = next(it) if has_affine else None
+    occ_hbm = next(it) if has_occ else None    # parity-major pack
+    skip_hbm = next(it) if has_skip else None  # fine grid z-PAIR view
+    _zeros = next(it)
+    out_ref = next(it)      # fine grid full-PAIR (6D) view
+    in_tile = next(it)      # (2, HX, G, HY, HZ, cin_p)
+    acc = next(it)          # (2, HX, 2, G, HY, 2, HZ, 2*out_lanes)
+    occ_tile = next(it) if has_occ else None
+    skip_tile = next(it) if has_skip else None
+    sem_in = next(it)
+    sem_out = next(it)
+    sem_occ = next(it) if has_occ else None
+    sem_skip = next(it) if has_skip else None
+
+    t = pl.program_id(0)
+    HX, HY, HZ = TX // 2, TY // 2, TZ // 2
+
+    def txyz(step, g):
+        i = tiles_ref[step * G + g]
+        return ((i // (NTY * NTZ)) * TX, ((i // NTZ) % NTY) * TY,
+                (i % NTZ) * TZ)
+
+    def txyz_half(step, g):
+        # half-scale offsets built by MULTIPLICATION (tz // 2 defeats
+        # Mosaic's divisibility proof for the 8-tiled z dim)
+        i = tiles_ref[step * G + g]
+        return ((i // (NTY * NTZ)) * HX, ((i // NTZ) % NTY) * HY,
+                (i % NTZ) * HZ)
+
+    def in_dma(slot, step, g):
+        txh, tyh, tzh = txyz_half(step, g)
+        # TZ % 16 == 0 keeps the coarse z offset tzh + MZ 8-aligned
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(txh + MX, HX), pl.ds(tyh + MY, HY),
+                     pl.ds(tzh + MZ, HZ), :],
+            in_tile.at[slot, :, g], sem_in.at[slot, g],
+        )
+
+    def occ_dma(slot, step):
+        return pltpu.make_async_copy(
+            occ_hbm.at[pl.ds(step * G, G)], occ_tile.at[slot],
+            sem_occ.at[slot],
+        )
+
+    def skip_dma(slot, step, g):
+        tx, ty, tz = txyz(step, g)
+        _, _, tzh = txyz_half(step, g)
+        return pltpu.make_async_copy(
+            skip_hbm.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
+                        pl.ds(tzh + MZ // 2, HZ), :],
+            skip_tile.at[slot, :, g], sem_skip.at[slot, g],
+        )
+
+    def start_in(slot, step):
+        for g in range(G):
+            in_dma(slot, step, g).start()
+            if has_skip:
+                skip_dma(slot, step, g).start()
+        if has_occ:
+            occ_dma(slot, step).start()
+
+    def out_dma(slot, step, g):
+        txh, tyh, tzh = txyz_half(step, g)
+        # 6D pair view dest: (x-pair, dx, y-pair, dy, z-pair, (dz, c)) in
+        # row-major IS the 4D fine grid; interior starts are even in x/y and
+        # the z-pair offset tzh + MZ/2 is 8-aligned
+        return pltpu.make_async_copy(
+            acc.at[slot, :, :, g],
+            out_ref.at[pl.ds(txh + MX // 2, HX), :,
+                       pl.ds(tyh + MY // 2, HY), :,
+                       pl.ds(tzh + MZ // 2, HZ), :],
+            sem_out.at[slot, g],
+        )
+
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_in(slot, t)
+
+    @pl.when(t + 1 < n_steps)
+    def _():
+        start_in(nxt, t + 1)
+
+    for g in range(G):
+        in_dma(slot, t, g).wait()
+        if has_skip:
+            skip_dma(slot, t, g).wait()
+    if has_occ:
+        occ_dma(slot, t).wait()
+
+    @pl.when(t >= 2)
+    def _():
+        for g in range(G):
+            out_dma(slot, t - 2, g).wait()
+
+    cpp = HX * HY * HZ          # cells per parity per tile
+    prows = G * cpp
+    parents = in_tile[slot].reshape(prows, cin_p)
+    if has_skip:
+        skp = skip_tile[slot].reshape(HX, 2, G, HY, 2, HZ, 2 * skl)
+    if has_occ:
+        S = (8 * cpp) // 128    # packed slabs per tile (parity-major)
+        TYZc = HY * HZ
+        r = jax.lax.broadcasted_iota(jnp.int32, (prows, 1), 0)
+        cell_p = (r // (G * TYZc)) * TYZc + r % TYZc
+        g_idx = (r // TYZc) % G
+
+    # transposed stride-2 k=2: every fine cell has exactly one parent,
+    # selected by its parity — 8 matmuls with per-parity epilogue, placed
+    # through the pair views (Mosaic has no strided vector slicing)
+    for dz in range(2):
+        for dy in range(2):
+            for dx in range(2):
+                d = dx + 2 * dy + 4 * dz
+                part = jax.lax.dot_general(
+                    parents, w_ref[d],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (prows, cout)
+                if has_affine:
+                    part = part * ab_ref[0:1, :] + ab_ref[1:2, :]
+                if has_occ:
+                    flat = d * cpp + cell_p
+                    slab = g_idx * S + flat // 128
+                    slab_oh = (jax.lax.broadcasted_iota(
+                        jnp.int32, (prows, G * S), 1) == slab
+                    ).astype(jnp.float32)
+                    ot = occ_tile[slot].reshape(G * S, 128)
+                    occ_rows = jax.lax.dot_general(
+                        slab_oh, ot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    sel = (jax.lax.broadcasted_iota(
+                        jnp.int32, (prows, 128), 1) == flat % 128)
+                    occm = jnp.sum(jnp.where(sel, occ_rows, 0.0), axis=1,
+                                   keepdims=True)
+                    part = part * occm
+                if relu_out:
+                    part = jnp.maximum(part, 0.0)
+                pv = part.astype(out_dtype).reshape(HX, G, HY, HZ, cout)
+                base = dz * out_lanes
+                acc[slot, :, dx, :, :, dy, :, base:base + cout] = pv
+                if out_lanes > cout:
+                    acc[slot, :, dx, :, :, dy, :,
+                        base + cout:base + out_lanes] = jnp.zeros(
+                        (HX, G, HY, HZ, out_lanes - cout), out_dtype)
+                if has_skip:
+                    # fused U-Net concat: overlay the skip grid's channels
+                    # after the REAL conv width (post-activation values)
+                    acc[slot, :, dx, :, :, dy, :,
+                        base + cout_r:base + cout_r + skip_c] = (
+                        skp[:, dx, :, :, dy, :,
+                            dz * skl:dz * skl + skip_c]
+                    )
+
+    for g in range(G):
+        out_dma(slot, t, g).start()
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for g in range(G):
+            out_dma(slot, t, g).wait()
+            if n_steps >= 2:
+                out_dma(nxt, t - 1, g).wait()
+
+
+def pack_occ_parity(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
+                    tile_shape) -> jnp.ndarray:
+    """Per-tile occupancy for tiled_up2, parity-major: entry [t] is the
+    8 * cells/8 occupancies ordered (dz, dy, dx)-parity major, (xc, yc, zc)
+    within, packed as (T, cells/128, 128) f32."""
+    TX, TY, TZ = tile_shape
+    o = occ_grid[MX:occ_grid.shape[0] - MX, MY:occ_grid.shape[1] - MY,
+                 MZ:occ_grid.shape[2] - MZ]
+    X, Y, Z = o.shape
+    o = o.reshape(X // TX, TX // 2, 2, Y // TY, TY // 2, 2, Z // TZ,
+                  TZ // 2, 2)
+    # -> (ntx, nty, ntz, dz, dy, dx, xc, yc, zc)
+    o = jnp.transpose(o, (0, 3, 6, 8, 5, 2, 1, 4, 7))
+    g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]
+    return g.reshape(tiles.shape[0], (TX * TY * TZ) // 128,
+                     128).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_shape", "group", "skip_c", "relu_out",
+                     "interpret"),
+)
+def tiled_up2(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    tiles: jnp.ndarray,
+    *,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    occ: Optional[jnp.ndarray] = None,
+    skip: Optional[jnp.ndarray] = None,
+    skip_c: int = 0,
+    relu_out: bool = False,
+    tile_shape: Tuple[int, int, int] = (8, 8, 32),
+    group: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transposed stride-2 k=2 conv over occupied FINE tiles, with fused
+    epilogue and OPTIONAL fused skip concatenation.
+
+    x: margined COARSE grid (X//2 + 2MX, ..., cin_p); w: (8, Cin, Cout)
+    x-fastest offsets (semantics out[2p + d] += W[d] @ in[p] — reference
+    MinkowskiConvolutionTranspose). tiles index the FINE interior;
+    TX, TY even and TZ % 16 == 0 (coarse z DMA alignment). ``occ`` must be
+    pack_occ_parity's output for these tiles. With ``skip`` (a margined
+    fine grid) and ``skip_c``, the output carries
+    [conv epilogue result (Cout) | skip[..., :skip_c] | zeros] — the next
+    block's concatenated input, skipping the full-grid XLA concat pass.
+
+    Returns the margined fine grid (..., lanes(Cout + skip_c)).
+    """
+    Xm, Ym, Zm, cp = x.shape
+    Xc, Yc, Zc = Xm - 2 * MX, Ym - 2 * MY, Zm - 2 * MZ
+    X, Y, Z = Xc * 2, Yc * 2, Zc * 2
+    cin, cout = w.shape[1], w.shape[2]
+    assert w.shape[0] == 8 and cp == _lanes(cin)
+    TX, TY, TZ = tile_shape
+    assert X % TX == 0 and Y % TY == 0 and Z % TZ == 0
+    assert TX % 2 == 0 and TY % 2 == 0 and TZ % 16 == 0
+    assert (scale is None) == (bias is None)
+    assert (skip is None) == (skip_c == 0)
+    n_tiles = tiles.shape[0]
+    G = group
+    assert n_tiles % G == 0
+    n_steps = n_tiles // G
+    has_affine = scale is not None
+    has_occ = occ is not None
+    has_skip = skip is not None
+    if has_occ:
+        assert (TX * TY * TZ) % 128 == 0
+
+    cin_p = cp
+    cout_p = _lanes(cout)
+    out_lanes = _lanes(cout + skip_c)
+    wf = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
+    wf = wf.astype(x.dtype)
+    Xf, Yf, Zf = X + 2 * MX, Y + 2 * MY, Z + 2 * MZ
+    out0 = jnp.zeros((Xf, Yf, Zf, out_lanes), x.dtype)
+    # full pair (6D) view: row-major (x-pair, dx, y-pair, dy, z-pair,
+    # (dz, c)) is bit-identical to the 4D fine grid
+    out6 = out0.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2, 2 * out_lanes)
+
+    NTY, NTZ = Y // TY, Z // TZ
+    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
+                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+
+    operands = [tiles_flat, x, wf]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if has_affine:
+        ab = jnp.stack([
+            jnp.pad(scale.astype(jnp.float32), (0, cout_p - cout)),
+            jnp.pad(bias.astype(jnp.float32), (0, cout_p - cout)),
+        ])
+        operands.append(ab)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if has_occ:
+        operands.append(occ.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    skl = 0
+    if has_skip:
+        assert skip.shape[:3] == (Xf, Yf, Zf)
+        skl = skip.shape[-1]
+        assert skl % 128 == 0 and skip_c <= skl
+        skip2 = skip.astype(x.dtype).reshape(Xf, Yf, Zf // 2, 2 * skl)
+        operands.append(skip2)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    operands.append(out6)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    zeros_index = len(operands) - 1
+
+    HX, HY, HZ = TX // 2, TY // 2, TZ // 2
+    scratch = [
+        pltpu.VMEM((2, HX, G, HY, HZ, cin_p), x.dtype),
+        pltpu.VMEM((2, HX, 2, G, HY, 2, HZ, 2 * out_lanes), x.dtype),
+    ]
+    if has_occ:
+        scratch.append(pltpu.VMEM((2, G, (TX * TY * TZ) // 128, 128),
+                                  jnp.float32))
+    if has_skip:
+        scratch.append(pltpu.VMEM((2, TX, G, TY, HZ, 2 * skl), x.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, G)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, G)))
+    if has_occ:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if has_skip:
+        scratch.append(pltpu.SemaphoreType.DMA((2, G)))
+
+    kernel = functools.partial(
+        _up2_kernel, TX=TX, TY=TY, TZ=TZ, cin_p=cin_p, cout=cout_p,
+        cout_r=cout, out_lanes=out_lanes, skip_c=skip_c, skl=skl,
+        n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
+        has_affine=has_affine, has_occ=has_occ, has_skip=has_skip,
+        relu_out=relu_out,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out6.shape, x.dtype),
+        input_output_aliases={zeros_index: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(Xf, Yf, Zf, out_lanes)

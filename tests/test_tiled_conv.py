@@ -128,3 +128,99 @@ def test_tiled_conv_fused_epilogue(rng):
     for t in np.asarray(tiles):
         sl = _tile_slices(t, ts)
         np.testing.assert_allclose(got2[sl], want2[sl], atol=1e-4)
+
+
+def test_tiled_down2_matches_xla(rng):
+    """Stride-2 k=2 down conv + epilogue == the margined XLA path."""
+    import jax.numpy as jnp
+
+    from canonicalvoting_tpu.ops.pallas.tiled_conv import tiled_down2
+
+    Xf, Yf, Zf, cin, cout = 16, 16, 32, 8, 8
+    X, Y, Z = Xf // 2, Yf // 2, Zf // 2
+    x = np.zeros((Xf, Yf, Zf, cin), np.float32)
+    occ_cells = rng.randint(0, [Xf, Yf, Zf], (200, 3))
+    x[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = rng.randn(
+        200, cin).astype(np.float32)
+    w = rng.randn(8, cin, cout).astype(np.float32) * 0.2
+    scale = rng.rand(cout).astype(np.float32) + 0.5
+    bias = rng.randn(cout).astype(np.float32)
+    coarse = np.unique(occ_cells // 2, axis=0)
+    occ_grid = np.zeros((X, Y, Z), np.float32)
+    occ_grid[coarse[:, 0], coarse[:, 1], coarse[:, 2]] = 1.0
+    occ_m = jnp.pad(jnp.asarray(occ_grid), ((MX, MX), (MY, MY), (MZ, MZ)))
+
+    ts, group = (4, 4, 8), 2
+    tiles = jnp.asarray(occupied_tiles(coarse, (X, Y, Z), ts,
+                                       pad_multiple=group))
+    occp = pack_occ(occ_m, tiles, ts)
+
+    cp = 128
+    xm = _margined(x)
+    got = tiled_down2(xm, jnp.asarray(w), tiles,
+                      scale=jnp.asarray(scale), bias=jnp.asarray(bias),
+                      occ=occp, relu_out=True, tile_shape=ts, group=group,
+                      interpret=True)
+    got = _interior(got, cout)
+
+    # XLA reference: margined strided conv (as in models.dense_unet)
+    wk = w.reshape(2, 2, 2, cin, cout)             # (dz, dy, dx, ...)
+    wk = jnp.transpose(jnp.asarray(wk), (2, 1, 0, 3, 4))
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], wk, (2, 2, 2), [(0, 1)] * 3,
+        dimension_numbers=_DN)[0]
+    ref = np.maximum((np.asarray(ref) * scale + bias)
+                     * occ_grid[..., None], 0.0)
+    for t in np.asarray(tiles):
+        sl = _tile_slices(t, ts)
+        np.testing.assert_allclose(got[sl], ref[sl], atol=1e-4)
+
+
+def test_tiled_up2_matches_xla(rng):
+    """Transposed stride-2 conv + epilogue + fused skip concat == the
+    margined XLA conv_transpose path + explicit concat."""
+    import jax.numpy as jnp
+
+    from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+        pack_occ_parity, tiled_up2)
+
+    X, Y, Z, cin, cout, skip_c = 16, 16, 32, 8, 6, 4
+    Xc, Yc, Zc = X // 2, Y // 2, Z // 2
+    xc = np.zeros((Xc, Yc, Zc, cin), np.float32)
+    coarse = rng.randint(0, [Xc, Yc, Zc], (80, 3))
+    xc[coarse[:, 0], coarse[:, 1], coarse[:, 2]] = rng.randn(
+        80, cin).astype(np.float32)
+    w = rng.randn(8, cin, cout).astype(np.float32) * 0.2
+    scale = rng.rand(cout).astype(np.float32) + 0.5
+    bias = rng.randn(cout).astype(np.float32)
+    fine_cells = rng.randint(0, [X, Y, Z], (300, 3))
+    occ_grid = np.zeros((X, Y, Z), np.float32)
+    occ_grid[fine_cells[:, 0], fine_cells[:, 1], fine_cells[:, 2]] = 1.0
+    occ_m = jnp.pad(jnp.asarray(occ_grid), ((MX, MX), (MY, MY), (MZ, MZ)))
+    skip = rng.randn(X, Y, Z, skip_c).astype(np.float32)
+
+    ts, group = (4, 4, 16), 2
+    tiles = jnp.asarray(occupied_tiles(fine_cells, (X, Y, Z), ts,
+                                       pad_multiple=group))
+    occp = pack_occ_parity(occ_m, tiles, ts)
+
+    got = tiled_up2(_margined(xc), jnp.asarray(w), tiles,
+                    scale=jnp.asarray(scale), bias=jnp.asarray(bias),
+                    occ=occp, skip=_margined(skip), skip_c=skip_c,
+                    relu_out=True, tile_shape=ts, group=group,
+                    interpret=True)
+    got = _interior(got, cout + skip_c)
+
+    # XLA reference: conv_transpose VALID with flipped kernel (the
+    # dense_unet transpose semantics), epilogue, then concat
+    wk = w.reshape(2, 2, 2, cin, cout)
+    wk = jnp.transpose(jnp.asarray(wk), (2, 1, 0, 3, 4))
+    up = jax.lax.conv_transpose(
+        jnp.asarray(xc)[None], wk[::-1, ::-1, ::-1], (2, 2, 2), "VALID",
+        dimension_numbers=_DN)[0]
+    up = np.maximum((np.asarray(up) * scale + bias)
+                    * occ_grid[..., None], 0.0)
+    ref = np.concatenate([up, skip], axis=-1)
+    for t in np.asarray(tiles):
+        sl = _tile_slices(t, ts)
+        np.testing.assert_allclose(got[sl], ref[sl], atol=1e-4)
