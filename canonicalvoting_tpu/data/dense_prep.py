@@ -97,7 +97,13 @@ def level_tiles(coords: np.ndarray, base: np.ndarray,
         d = tuple(x >> lvl for x in dims)
         if any(dd % tt for dd, tt in zip(d, ts)):
             continue
-        t = np.unique((c0 >> lvl) // ts, axis=0).astype(np.int32)
+        # 1D flat unique: np.unique(axis=0) on row vectors is ~50x slower
+        # (structured sort); this is the bulk of host prep otherwise
+        tc = (c0 >> lvl) // ts
+        nty, ntz = d[1] // int(ts[1]), d[2] // int(ts[2])
+        fl = np.unique((tc[:, 0] * nty + tc[:, 1]) * ntz + tc[:, 2])
+        t = np.stack([fl // (nty * ntz), (fl // ntz) % nty, fl % ntz],
+                     axis=1).astype(np.int32)
         # geometric bucketing (~1/16 granularity): same-size scenes land on
         # the same padded tile count, so the jitted backbone compiles once
         # per size class instead of once per scene (remote TPU compiles of
