@@ -296,6 +296,9 @@ class DetectionPipeline:
 
     def postprocess(self, out) -> list:
         """Host NMS + class naming (eval_joint.py:270-280)."""
+        # one batched fetch: per-leaf np.asarray pays a transfer round trip
+        # each, which adds up on high-latency links
+        out = jax.device_get(out)
         n = int(out["n_boxes"])
         boxes = np.asarray(out["boxes"])[:n]
         scores = np.asarray(out["scores"])[:n]
