@@ -6,8 +6,9 @@ Rebuilds the reference's `HoughVotingModule` + point utilities
   * `HoughVotingProposal` — explicit-corners Hough voting (the 7-arg kernel
     variant, brnetcanon.py:96-117) at res 0.05 / 60 rotation bins, followed
     by a top-down map (max over Y, pow 0.5, :123-125) and multinomial
-    proposal sampling with rejection of candidates within `reject_radius` of
-    existing vote seeds (:135-159). The reference's data-dependent rejection
+    proposal sampling that KEEPS candidates within `reject_radius` of an
+    existing vote seed (falling back to all draws when none qualify,
+    :135-159). The reference's data-dependent rejection
     re-sampling while-loop becomes a fixed oversample + masked top-k
     (sampling WITH replacement from the same distribution, so the proposal
     law is identical; only the retry schedule differs).
@@ -130,13 +131,17 @@ class HoughVotingProposal:
         scales = hv_scale[ix, iy, iz, :]
         vals = dist[draws]
 
-        # rejection: drop candidates within reject_radius of a vote seed
-        # (brnetcanon.py:142-152)
+        # rejection: KEEP candidates within reject_radius of a vote seed;
+        # when no draw qualifies, fall back to accepting every draw
+        # (brnetcanon.py:145-152: `loc.append(world_loc[dist2seed < 0.3])`,
+        # with the `sum(dist2seed < 0.3) == 0` branch keeping all draws)
         d2seed = jnp.min(
             jnp.linalg.norm(world[:, None, :] - vote_points[None], axis=-1),
             axis=-1,
         )
-        keep = d2seed >= self.reject_radius
+        near_seed = d2seed < self.reject_radius
+        keep = jnp.where(jnp.any(near_seed), near_seed,
+                         jnp.ones_like(near_seed))
         # keep the first num_proposal accepted draws; if too few survive,
         # backfill with rejected ones (reference would keep resampling)
         order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)

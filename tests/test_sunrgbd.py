@@ -42,43 +42,65 @@ def test_query_ball_point(rng):
             assert d <= 0.2 + 1e-5 or int(j) == int(idx[0, q, 0])
 
 
-def test_proposal_sampler_finds_object(rng):
-    """Proposals concentrate near a planted high-vote object and are
-    rejected near existing vote seeds."""
+def _two_blob_scene(rng):
+    """Two planted high-vote objects A and B, plus uniform background."""
     from canonicalvoting_tpu.data.geometry import rotmat_y
 
-    center = np.array([1.0, 0.5, 1.0], np.float32)
+    centers = np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 1.5]], np.float32)
     scale = np.array([0.3, 0.3, 0.3], np.float32)
-    n_obj, n_bg = 1500, 3000
-    lcc = rng.uniform(-0.9, 0.9, (n_obj, 3)).astype(np.float32)
-    obj_pts = (rotmat_y(0.5) @ (lcc * scale).T).T + center
+    n_obj, n_bg = 1500, 1000
+    parts, xyzs = [], []
+    for c in centers:
+        lcc = rng.uniform(-0.9, 0.9, (n_obj, 3)).astype(np.float32)
+        parts.append((rotmat_y(0.5) @ (lcc * scale).T).T + c)
+        xyzs.append(lcc)
     bg = rng.uniform(0, 2, (n_bg, 3)).astype(np.float32)
-    pc = np.concatenate([obj_pts, bg]).astype(np.float32)
-    xyz = np.concatenate([lcc, np.zeros_like(bg)]).astype(np.float32)
+    pc = np.concatenate(parts + [bg]).astype(np.float32)
+    xyz = np.concatenate(xyzs + [np.zeros_like(bg)]).astype(np.float32)
     scl = np.full_like(pc, 0.2)
-    scl[:n_obj] = scale
+    scl[: 2 * n_obj] = scale
     prob = np.concatenate([
-        np.full(n_obj, 0.9, np.float32), np.full(n_bg, 0.01, np.float32)
+        np.full(2 * n_obj, 0.9, np.float32), np.full(n_bg, 0.01, np.float32)
     ])
     corners = np.stack([pc.min(0), pc.max(0)])
+    return pc, xyz, scl, prob, corners, centers
 
+
+def test_proposal_sampler_finds_objects(rng):
+    """With no qualifying seed, the sampler falls back to the raw vote
+    distribution and finds both planted objects."""
+    pc, xyz, scl, prob, corners, centers = _two_blob_scene(rng)
     sampler = HoughVotingProposal(res=0.05, num_rots=36, num_proposal=64)
     cands, probs, scales = sampler(
         pc, xyz, scl, prob, corners,
-        vote_points=np.full((8, 3), 50.0, np.float32),  # no rejections
-        key=jax.random.PRNGKey(0), grid_shape=(48, 32, 48),
+        vote_points=np.full((8, 3), 50.0, np.float32),  # nothing within 0.3m
+        key=jax.random.PRNGKey(0), grid_shape=(64, 32, 64),
     )
     cands = np.asarray(cands)
     assert cands.shape == (64, 3)
-    d = np.linalg.norm(cands - center, axis=-1)
-    # most proposals should cluster at the planted center
-    assert (d < 0.3).mean() > 0.35, f"only {(d < 0.3).mean():.2f} near center"
+    dA = np.linalg.norm(cands - centers[0], axis=-1)
+    dB = np.linalg.norm(cands - centers[1], axis=-1)
+    assert (dA < 0.4).mean() > 0.08, f"only {(dA < 0.4).mean():.2f} near A"
+    assert (dB < 0.4).mean() > 0.08, f"only {(dB < 0.4).mean():.2f} near B"
 
-    # rejection: seeds at the object center suppress proposals there
-    cands2, _, _ = sampler(
+
+def test_proposal_sampler_keeps_near_seed(rng):
+    """Reference semantics (brnetcanon.py:142-155): candidates within 0.3m
+    of a vote seed are KEPT, others rejected. A seed at object A must
+    concentrate proposals at A and starve B — the opposite assignment
+    (rejecting near-seed draws) would concentrate them at B instead, so
+    this test discriminates the two behaviors."""
+    pc, xyz, scl, prob, corners, centers = _two_blob_scene(rng)
+    sampler = HoughVotingProposal(res=0.05, num_rots=36, num_proposal=64,
+                                  oversample=24)
+    cands, _, _ = sampler(
         pc, xyz, scl, prob, corners,
-        vote_points=np.broadcast_to(center, (8, 3)).astype(np.float32),
-        key=jax.random.PRNGKey(0), grid_shape=(48, 32, 48),
+        vote_points=np.broadcast_to(centers[0], (8, 3)).astype(np.float32),
+        key=jax.random.PRNGKey(0), grid_shape=(64, 32, 64),
     )
-    d2 = np.linalg.norm(np.asarray(cands2) - center, axis=-1)
-    assert (d2 < 0.3).mean() < (d < 0.3).mean()
+    cands = np.asarray(cands)
+    dA = np.linalg.norm(cands - centers[0], axis=-1)
+    dB = np.linalg.norm(cands - centers[1], axis=-1)
+    near_A, near_B = (dA < 0.35).mean(), (dB < 0.35).mean()
+    assert near_A > 0.8, f"near-seed draws must dominate, got {near_A:.2f}"
+    assert near_B < 0.05, f"far-from-seed draws must be rejected, got {near_B:.2f}"
