@@ -81,6 +81,10 @@ class MinkUNetBase(nn.Module):
             x_in = x
             x = SparseConv(ch, ch, 8, compute_dtype=dt,
                            name=f"conv{i + 1}p{1 << i}s2")(x_in, P["nbr_down"][i])
+            if self.return_endpoints and i == 3:
+                # stride-16 encoder conv output, pre-BN — the FIRST of 34CF's
+                # five endpoints (reference utils/minkunet.py:273-274)
+                endpoints.append(x)
             x = MaskedBatchNorm(ch, axis_name=self.bn_axis,
                                 name=f"bn{i + 1}")(x, nv[i + 1], train, mom)
             x = nn.relu(x)

@@ -51,8 +51,16 @@ def test_minkunet34cf_endpoints(rng):
     model = MinkUNet34CF(3, 8, compute_dtype="float32")
     variables = model.init(jax.random.PRNGKey(0), feats, pyr.as_jax_inputs(), False)
     endpoints, out = model.apply(variables, feats, pyr.as_jax_inputs(), False)
-    assert len(endpoints) == 4
+    # reference utils/minkunet.py:273-308 returns FIVE endpoints: the
+    # stride-16 encoder conv output first, then the 4 transposed-conv outputs
+    assert len(endpoints) == 5
     assert out.shape == (feats.shape[0], 8)
+    # endpoint 0 is conv4p8s2's output at stride 16: 128 channels (the
+    # inplanes entering block4, before it expands to 256); endpoints 1..4
+    # are the up-conv outputs at strides 8/4/2/1
+    assert endpoints[0].shape[-1] == 128
+    for ep, ch in zip(endpoints[1:], (256, 128, 96, 96)):
+        assert ep.shape[-1] == ch
 
 
 def test_train_mode_updates_batch_stats(rng):
