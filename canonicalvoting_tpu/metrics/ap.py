@@ -10,6 +10,12 @@ pool results against ``gt.keys()`` while the pool input was filtered to
 classes present in ``pred`` (calc_map.py:215-219), silently misaligning
 results when a GT class has no predictions. We keep the API and the "AP=0
 for classes without predictions" behavior but align results by class name.
+
+Provenance: ``voc_ap`` / ``eval_det_cls`` / ``nms`` intentionally follow the
+reference's control flow closely (calc_map.py:40-243), which is itself the
+standard public VOC / votenet evaluation code (facebookresearch/votenet
+``eval_det.py``). Exact protocol reproduction is required for mAP-parity
+claims, so this is a transliteration by design, not an original algorithm.
 """
 
 from __future__ import annotations
