@@ -52,6 +52,42 @@ def collate_joint(items: Sequence, cap_multiple: int = 4096,
     }
 
 
+def collate_joint_dense(items: Sequence, cap_multiple: int = 4096,
+                        feats_rescale: bool = True) -> Dict:
+    """Joint batch for the dense-execution backbone: instead of the
+    coordinate pyramid, rows carry flat MARGINED cell ids into a stacked
+    (B, X, Y, Z) grid (data.dense_prep.dense_flat_ids_batched). Labels and
+    row order are identical to collate_joint, so the same loss applies.
+    ``meta.grid_dims`` / ``meta.n_scenes`` are the step's static args.
+    """
+    from canonicalvoting_tpu.data.dense_prep import dense_flat_ids_batched
+
+    ids, coords, feats, xyz_l, scale_l, class_l = zip(*items)
+    flat, dims, _bases = dense_flat_ids_batched(list(coords))
+    n = len(flat)
+    cap0 = int(np.ceil(n / cap_multiple) * cap_multiple)
+
+    feats_b = _pad(np.concatenate(feats, 0), cap0, 0.0).astype(np.float32)
+    if feats_rescale:
+        feats_b[:, -3:] = feats_b[:, -3:] * 2.0 - 1.0
+    valid = np.zeros((cap0,), np.float32)
+    valid[:n] = (flat >= 0).astype(np.float32)
+    return {
+        "meta": {"ids": list(ids), "grid_dims": dims, "n_scenes": len(items)},
+        "feats": feats_b,
+        "flat_idx": _pad(flat, cap0, -1),
+        "valid": valid,
+        "nvalid": np.int32(n),
+        "xyz_labels": _pad(np.concatenate(xyz_l, 0).astype(np.float32), cap0, 0.0),
+        "scale_labels": _pad(
+            np.concatenate(scale_l, 0).astype(np.float32), cap0, 1.0
+        ),
+        "class_labels": _pad(
+            np.concatenate(class_l, 0).astype(np.int32), cap0, NCLASSES
+        ),
+    }
+
+
 def collate_separate(items: Sequence, cap_multiple: int = 4096,
                      max_objects: int = 64, feats_rescale: bool = True) -> Dict:
     """items: (id_scan, coords, feats, base_xyz, scale_labels, obj_labels,

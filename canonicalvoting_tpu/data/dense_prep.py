@@ -72,6 +72,26 @@ def dense_flat_ids(coords: np.ndarray, base: np.ndarray,
     return np.where(ok, flat, -1).astype(np.int32)
 
 
+def dense_flat_ids_batched(coords_list):
+    """Batched flat ids for a list of scenes sharing one (max) grid size.
+
+    Per scene computes its own base; the common INTERIOR dims are the
+    elementwise max over scenes (already 16/32-aligned), so every scene's
+    points fit. Scene ``s``'s ids are offset by ``s * n_cells_margined``
+    into the stacked id space DenseMinkUNet(n_scenes=B) scatters into.
+
+    Returns (flat_concat (sum Ni,), dims (X, Y, Z), bases [B x (3,)]).
+    """
+    geo = [dense_grid_geometry(c) for c in coords_list]
+    dims = tuple(int(max(g[1][a] for g in geo)) for a in range(3))
+    n_cells = (dims[0] + 2 * MX) * (dims[1] + 2 * MY) * (dims[2] + 2 * MZ)
+    flats = []
+    for s, (c, (base, _)) in enumerate(zip(coords_list, geo)):
+        f = dense_flat_ids(c, base, dims)
+        flats.append(np.where(f >= 0, f + s * n_cells, -1).astype(np.int32))
+    return np.concatenate(flats), dims, [g[0] for g in geo]
+
+
 def level_tiles(coords: np.ndarray, base: np.ndarray,
                 dims: Tuple[int, int, int], tile_plan=None,
                 pad_multiple: int = 32):

@@ -422,7 +422,8 @@ class DenseMinkUNet(nn.Module):
 
     @nn.compact
     def __call__(self, feats, flat_idx, valid, grid_dims: Tuple[int, int, int],
-                 train: bool = False, bn_momentum=0.1, tiles=None):
+                 train: bool = False, bn_momentum=0.1, tiles=None,
+                 n_scenes: int = 1):
         from canonicalvoting_tpu.data.dense_prep import (
             STEM_KEY, STEM_TILE_PLAN, TILE_PLAN)
 
@@ -436,12 +437,18 @@ class DenseMinkUNet(nn.Module):
         ly = self.layers
         exp = _DENSE_BLOCKS[self.block].expansion
         tiled = bool(tiles) and self.conv_impl != "xla" and not train
+        assert not (tiled and n_scenes != 1), \
+            "the tiled path is single-scene; batched grids use the XLA path"
         tsg = {key: (STEM_TILE_PLAN if key == STEM_KEY else TILE_PLAN[key])
                for key in tiles}
 
+        # with n_scenes > 1, flat_idx must already carry the per-scene
+        # offset s * n_cells into the stacked (B * n_cells) id space
+        # (data.dense_prep.dense_flat_ids_batched)
+        B = n_scenes
         n_cells = dxm * dym * dzm
         vmask = (valid > 0)
-        safe_idx = jnp.where(vmask, flat_idx, n_cells)
+        safe_idx = jnp.where(vmask, flat_idx, B * n_cells)
         frows = jnp.where(vmask[:, None], feats, 0.0)
         in_dt = jnp.bfloat16 if dt == "bfloat16" else jnp.float32
         stem_tiled = (self.stem_impl == "tiled" and tiled
@@ -450,17 +457,17 @@ class DenseMinkUNet(nn.Module):
         # (padding a (..., 3) grid afterwards would be a 2 GB copy)
         scat_c = _lanes(self.in_channels) if stem_tiled \
             else self.in_channels
-        dense = jnp.zeros((n_cells, scat_c), in_dt)
+        dense = jnp.zeros((B * n_cells, scat_c), in_dt)
         dense = dense.at[safe_idx].set(
             pad_lanes(frows.astype(in_dt), scat_c), mode="drop")
-        occ0_flat = jnp.zeros((n_cells,), jnp.float32).at[safe_idx].set(
+        occ0_flat = jnp.zeros((B * n_cells,), jnp.float32).at[safe_idx].set(
             1.0, mode="drop"
         )
-        x = dense.reshape(1, dxm, dym, dzm, scat_c)
+        x = dense.reshape(B, dxm, dym, dzm, scat_c)
         # margined occupancy pyramid as (1, X, Y, Z) — a trailing size-1
         # channel dim would be lane-padded 128x physically; broadcasts at
         # the use sites fuse and never materialize
-        occ = [occ0_flat.reshape(1, dxm, dym, dzm)]
+        occ = [occ0_flat.reshape(B, dxm, dym, dzm)]
         for _ in range(4):
             o = occ[-1][:, MX:-MX, MY:-MY, MZ:-MZ]
             o = jax.lax.reduce_window(
@@ -588,8 +595,8 @@ class DenseMinkUNet(nn.Module):
         # gather the point rows FIRST, then apply the 1x1 head to just those
         # rows — the head on the full grid would be a (n_cells, ch) matmul
         # plus a full-grid write for values 99% of which are discarded
-        rows_in = x.reshape(n_cells, x.shape[-1])[
-            jnp.clip(flat_idx, 0, n_cells - 1)]
+        rows_in = x.reshape(B * n_cells, x.shape[-1])[
+            jnp.clip(flat_idx, 0, B * n_cells - 1)]
         out = DenseConv(ch, self.out_channels, 1, use_bias=True,
                         compute_dtype=dt, name="final")(rows_in, rows=True)
         return jnp.where(vmask[:, None], out.astype(jnp.float32), 0.0)

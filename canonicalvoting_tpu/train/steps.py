@@ -8,6 +8,7 @@ without recompiling; the BN momentum schedule rides along as a step input
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict
 
 import flax
@@ -60,6 +61,26 @@ def create_train_state(model, optimizer, feats, pyramid) -> TrainState:
     )
 
 
+def create_train_state_dense(model, optimizer, batch) -> TrainState:
+    """Init from a collate_joint_dense batch (DenseMinkUNet backbone)."""
+    meta = batch["meta"]
+    init_fn = jax.jit(
+        lambda rng, f, i, v: model.init(
+            rng, f, i, v, tuple(meta["grid_dims"]), True,
+            n_scenes=meta["n_scenes"],
+        ),
+    )
+    variables = init_fn(jax.random.PRNGKey(0), batch["feats"],
+                        batch["flat_idx"], batch["valid"])
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
 def set_lr(opt_state, lr):
     """Update the injected learning rate in-place on the host."""
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
@@ -70,38 +91,79 @@ def _strip_meta(batch: Dict) -> Dict:
     return {k: v for k, v in batch.items() if k != "meta"}
 
 
-def make_joint_train_step(model, optimizer, cfg) -> Callable:
+def make_joint_train_step(model, optimizer, cfg,
+                          backbone: str = "gather") -> Callable:
+    """backbone="gather": ``model`` is a MinkUNetBase fed the coordinate
+    pyramid (collate_joint batches). backbone="dense": ``model`` is a
+    DenseMinkUNet fed flat cell ids (collate_joint_dense batches) — the
+    masked-dense path trains on the MXU with the identical parameter tree,
+    so checkpoints interchange between the two."""
     xyz_weights = tuple(cfg.xyz_weights)
 
-    @jax.jit
-    def _step(state: TrainState, batch: Dict, lr, bn_momentum):
-        def loss_fn(params):
+    def _apply_and_losses(params, batch_stats, batch, bn_momentum,
+                          grid_dims=None, n_scenes=1):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if backbone == "dense":
             out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["feats"], batch["pyramid"], True, bn_momentum,
+                variables, batch["feats"], batch["flat_idx"], batch["valid"],
+                grid_dims, True, bn_momentum, n_scenes=n_scenes,
                 mutable=["batch_stats"],
             )
-            losses = joint_losses(
-                out, batch["xyz_labels"], batch["scale_labels"],
-                batch["class_labels"], batch["pyramid"]["nvalid"][0],
-                xyz_weights, cfg.log_scale, cfg.xyz_factor, cfg.scale_factor,
+            nvalid = batch["nvalid"]
+        else:
+            out, updates = model.apply(
+                variables, batch["feats"], batch["pyramid"], True,
+                bn_momentum, mutable=["batch_stats"],
             )
-            return losses["loss"], (losses, updates["batch_stats"])
+            nvalid = batch["pyramid"]["nvalid"][0]
+        losses = joint_losses(
+            out, batch["xyz_labels"], batch["scale_labels"],
+            batch["class_labels"], nvalid,
+            xyz_weights, cfg.log_scale, cfg.xyz_factor, cfg.scale_factor,
+        )
+        return losses, updates["batch_stats"]
 
-        (_, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+    def _update(state, losses, new_stats, grads, lr):
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
         upd, new_opt = optimizer.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, upd)
-        new_state = TrainState(
+        return TrainState(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
             step=state.step + 1,
-        )
-        return new_state, losses
+        ), losses
+
+    @jax.jit
+    def _step(state: TrainState, batch: Dict, lr, bn_momentum):
+        def loss_fn(params):
+            losses, new_stats = _apply_and_losses(
+                params, state.batch_stats, batch, bn_momentum)
+            return losses["loss"], (losses, new_stats)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return _update(state, losses, new_stats, grads, lr)
+
+    @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
+    def _step_dense(state: TrainState, batch: Dict, lr, bn_momentum,
+                    grid_dims, n_scenes):
+        def loss_fn(params):
+            losses, new_stats = _apply_and_losses(
+                params, state.batch_stats, batch, bn_momentum,
+                grid_dims, n_scenes)
+            return losses["loss"], (losses, new_stats)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return _update(state, losses, new_stats, grads, lr)
 
     def step(state, batch, lr, bn_momentum):
+        if backbone == "dense":
+            meta = batch["meta"]
+            return _step_dense(state, _strip_meta(batch), lr, bn_momentum,
+                               tuple(meta["grid_dims"]), meta["n_scenes"])
         return _step(state, _strip_meta(batch), lr, bn_momentum)
 
     return step

@@ -1,5 +1,12 @@
 """Dense-execution backbone must match the gather-form sparse path exactly
-(same parameter tree, same function)."""
+(same parameter tree, same function).
+
+The default parametrizations are CPU-sized (tiny channel plans + ~32^3
+grids) so the dense == sparse == tiled equality chain is checkable without
+a TPU; the production-sized variants (MinkUNet14A/34C plans on bigger
+scenes) run under ``-m slow`` (they exceed 5 minutes each on CPU — XLA's
+CPU Conv3D is far off its TPU throughput).
+"""
 
 import jax
 import numpy as np
@@ -8,8 +15,11 @@ import pytest
 from canonicalvoting_tpu.data.dense_prep import dense_flat_ids, dense_grid_geometry
 from canonicalvoting_tpu.models import MinkUNet14A, MinkUNet34C
 from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+from canonicalvoting_tpu.models.minkunet import MinkUNetBase
 from canonicalvoting_tpu.ops.coords import PyramidSpec, build_pyramid
 from canonicalvoting_tpu.ops.voxelize import batched_coordinates, sparse_quantize
+
+TINY_PLANES = (8, 16, 32, 32, 32, 32, 16, 16)
 
 
 def _scene(rng, n_pts=400, extent=1.2):
@@ -20,9 +30,21 @@ def _scene(rng, n_pts=400, extent=1.2):
     return coords, rng.rand(len(coords), 3).astype(np.float32)
 
 
-@pytest.mark.parametrize("variant,out_ch", [("14A", 8), ("34C", 16)])
-def test_dense_matches_sparse(rng, variant, out_ch):
-    coords, feats_raw = _scene(rng)
+def _tiny_models(out_ch, layers=(1,) * 8):
+    sparse_model = MinkUNetBase(
+        in_channels=3, out_channels=out_ch, block="basic", layers=layers,
+        planes=TINY_PLANES, init_dim=8, compute_dtype="float32",
+    )
+    dense_model = DenseMinkUNet(
+        in_channels=3, out_channels=out_ch, block="basic", layers=layers,
+        planes=TINY_PLANES, init_dim=8, compute_dtype="float32",
+    )
+    return sparse_model, dense_model
+
+
+def _check_dense_matches_sparse(rng, sparse_model, dense_model, out_ch,
+                                n_pts, extent):
+    coords, feats_raw = _scene(rng, n_pts=n_pts, extent=extent)
     n = len(coords)
 
     # sparse path
@@ -30,8 +52,6 @@ def test_dense_matches_sparse(rng, variant, out_ch):
     n0 = pyr.coords[0].shape[0]
     feats = np.zeros((n0, 3), np.float32)
     feats[:n] = feats_raw
-    ctor = {"14A": MinkUNet14A, "34C": MinkUNet34C}[variant]
-    sparse_model = ctor(3, out_ch, compute_dtype="float32")
     variables = sparse_model.init(
         jax.random.PRNGKey(0), feats, pyr.as_jax_inputs(), False
     )
@@ -42,11 +62,6 @@ def test_dense_matches_sparse(rng, variant, out_ch):
     # dense path with the SAME variables
     base, dims = dense_grid_geometry(coords)
     flat = dense_flat_ids(coords, base, dims)
-    dense_model = DenseMinkUNet(
-        in_channels=3, out_channels=out_ch,
-        block=sparse_model.block, layers=sparse_model.layers,
-        planes=sparse_model.planes, compute_dtype="float32",
-    )
     valid = np.ones((n,), np.float32)
     out_dense = np.asarray(dense_model.apply(
         variables, feats_raw, flat, valid, dims, False
@@ -56,24 +71,40 @@ def test_dense_matches_sparse(rng, variant, out_ch):
     np.testing.assert_allclose(out_dense, out_sparse, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("layers", [(1,) * 8, (1, 2, 1, 1, 2, 1, 1, 1)])
+def test_dense_matches_sparse_tiny(rng, layers):
+    sparse_model, dense_model = _tiny_models(10, layers)
+    _check_dense_matches_sparse(rng, sparse_model, dense_model, 10,
+                                n_pts=250, extent=0.8)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant,out_ch", [("14A", 8), ("34C", 16)])
+def test_dense_matches_sparse_full(rng, variant, out_ch):
+    ctor = {"14A": MinkUNet14A, "34C": MinkUNet34C}[variant]
+    sparse_model = ctor(3, out_ch, compute_dtype="float32")
+    dense_model = DenseMinkUNet(
+        in_channels=3, out_channels=out_ch,
+        block=sparse_model.block, layers=sparse_model.layers,
+        planes=sparse_model.planes, compute_dtype="float32",
+    )
+    _check_dense_matches_sparse(rng, sparse_model, dense_model, out_ch,
+                                n_pts=400, extent=1.2)
+
+
 def test_dense_param_tree_matches(rng):
     """Dense init produces the same tree structure/shapes as sparse init."""
     import jax.tree_util as jtu
 
-    coords, feats_raw = _scene(rng, n_pts=150)
+    coords, feats_raw = _scene(rng, n_pts=150, extent=0.8)
     n = len(coords)
     pyr = build_pyramid(batched_coordinates([coords]), PyramidSpec(cap_multiple=64))
     feats = np.zeros((pyr.coords[0].shape[0], 3), np.float32)
-    sparse_model = MinkUNet14A(3, 8, compute_dtype="float32")
+    sparse_model, dense_model = _tiny_models(8)
     vs = sparse_model.init(jax.random.PRNGKey(0), feats, pyr.as_jax_inputs(), False)
 
     base, dims = dense_grid_geometry(coords)
     flat = dense_flat_ids(coords, base, dims)
-    dense_model = DenseMinkUNet(
-        in_channels=3, out_channels=8, block="basic",
-        layers=sparse_model.layers, planes=sparse_model.planes,
-        compute_dtype="float32",
-    )
     vd = dense_model.init(
         jax.random.PRNGKey(0), feats_raw, flat, np.ones((n,), np.float32),
         dims, False,
@@ -87,12 +118,13 @@ def test_dense_param_tree_matches(rng):
 
 def test_dense_valid_mask(rng):
     """Invalid rows neither contribute nor receive features."""
-    coords, feats_raw = _scene(rng, n_pts=200)
+    coords, feats_raw = _scene(rng, n_pts=200, extent=0.8)
     n = len(coords)
     base, dims = dense_grid_geometry(coords)
     flat = dense_flat_ids(coords, base, dims)
     model = DenseMinkUNet(in_channels=3, out_channels=4,
-                          layers=(1,) * 8, compute_dtype="float32")
+                          layers=(1,) * 8, planes=TINY_PLANES, init_dim=8,
+                          compute_dtype="float32")
     valid = np.ones((n,), np.float32)
     k = n // 2
     valid[k:] = 0
@@ -113,14 +145,15 @@ def test_dense_tiled_matches_xla(rng):
     must reproduce the XLA dense path exactly at the valid rows."""
     from canonicalvoting_tpu.data.dense_prep import level_tiles
 
-    coords, feats_raw = _scene(rng, n_pts=300)
+    coords, feats_raw = _scene(rng, n_pts=250, extent=0.8)
     n = len(coords)
     base, dims = dense_grid_geometry(coords)
     flat = dense_flat_ids(coords, base, dims)
     valid = np.ones((n,), np.float32)
 
     kw = dict(in_channels=3, out_channels=8, block="basic",
-              layers=(1, 1, 1, 1, 1, 1, 1, 1), compute_dtype="float32")
+              layers=(1, 1, 1, 1, 1, 1, 1, 1), planes=TINY_PLANES,
+              init_dim=8, compute_dtype="float32")
     m_xla = DenseMinkUNet(conv_impl="xla", **kw)
     variables = m_xla.init(jax.random.PRNGKey(1), feats_raw, flat, valid,
                            dims, False)

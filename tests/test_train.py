@@ -36,6 +36,20 @@ def _joint_items(rng, n_scenes=2):
     return items
 
 
+def _tiny_joint_items(rng, n_scenes=2):
+    """CPU-sized scenes: 32^3 dense grids after base alignment/rounding."""
+    items = []
+    for i in range(n_scenes):
+        scene = make_scene(rng, extent=(0.5, 0.5, 0.5), n_background=300,
+                           n_boxes=1, pts_per_box=150)
+        coords, idx = sparse_quantize(scene.points, 0.03)
+        items.append((
+            f"scene{i}", coords, scene.rgb[idx], scene.xyz_labels[idx],
+            scene.scale_labels[idx], scene.class_labels[idx],
+        ))
+    return items
+
+
 def test_schedules_match_reference():
     # base 1e-3, decay x0.1 at 80/120/160 (config/config.yaml:32-36)
     assert lr_for_epoch(0, 1e-3, [80, 120, 160], [0.1, 0.1, 0.1]) == 1e-3
@@ -127,6 +141,98 @@ def test_joint_train_step_decreases_loss(rng):
     assert l1 < l0, (l0, l1)
 
 
+def test_dense_train_grads_match_gather(rng):
+    """backbone="dense" training: same variables, same batch -> same loss
+    and same parameter gradients as the gather-form sparse path."""
+    import jax.tree_util as jtu
+
+    from canonicalvoting_tpu.data.collate import collate_joint_dense
+    from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+    from canonicalvoting_tpu.train.losses import joint_losses as jl
+
+    cfg = Config()
+    # one scene: grad parity is per-path math, batching is covered by
+    # test_dense_joint_train_step_runs (B=2); CPU Conv3D grads are slow
+    items = _tiny_joint_items(rng, n_scenes=1)
+    batch_g = collate_joint(items, cap_multiple=512)
+    batch_d = collate_joint_dense(items, cap_multiple=512)
+    out_ch = 6 * NCLASSES + NCLASSES + 1
+    # tiny channel plan: CPU Conv3D is slow, and parity is plan-independent
+    planes = (8, 16, 32, 32, 32, 32, 16, 16)
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+
+    model_g = MinkUNetBase(
+        in_channels=3, out_channels=out_ch, block="basic",
+        layers=(1,) * 8, planes=planes, init_dim=8,
+        compute_dtype="float32",
+    )
+    model_d = DenseMinkUNet(
+        in_channels=3, out_channels=out_ch, block="basic",
+        layers=(1,) * 8, planes=planes, init_dim=8,
+        compute_dtype="float32",
+    )
+    optimizer = make_optimizer(0.0)
+    state = create_train_state(model_g, optimizer, batch_g["feats"],
+                               batch_g["pyramid"])
+    dims = tuple(batch_d["meta"]["grid_dims"])
+    B = batch_d["meta"]["n_scenes"]
+    xw = tuple(cfg.xyz_weights)
+
+    def loss_g(params):
+        out, _ = model_g.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch_g["feats"], batch_g["pyramid"], True, 0.5,
+            mutable=["batch_stats"])
+        return jl(out, batch_g["xyz_labels"], batch_g["scale_labels"],
+                  batch_g["class_labels"], batch_g["pyramid"]["nvalid"][0],
+                  xw)["loss"]
+
+    def loss_d(params):
+        out, _ = model_d.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch_d["feats"], batch_d["flat_idx"], batch_d["valid"],
+            dims, True, 0.5, n_scenes=B, mutable=["batch_stats"])
+        return jl(out, batch_d["xyz_labels"], batch_d["scale_labels"],
+                  batch_d["class_labels"], batch_d["nvalid"], xw)["loss"]
+
+    lg, gg = jax.value_and_grad(loss_g)(state.params)
+    ld, gd = jax.value_and_grad(loss_d)(state.params)
+    np.testing.assert_allclose(float(lg), float(ld), rtol=1e-4)
+    flat_g = jtu.tree_flatten_with_path(gg)[0]
+    flat_d = dict(jtu.tree_flatten_with_path(gd)[0])
+    assert len(flat_g) == len(flat_d)
+    for k, vg in flat_g:
+        vd = flat_d[k]
+        np.testing.assert_allclose(
+            np.asarray(vg), np.asarray(vd), atol=5e-4, rtol=5e-3,
+            err_msg=jtu.keystr(k))
+
+
+def test_dense_joint_train_step_runs(rng):
+    """The backbone="dense" step function trains end-to-end."""
+    from canonicalvoting_tpu.data.collate import collate_joint_dense
+    from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+    from canonicalvoting_tpu.train.steps import create_train_state_dense
+
+    cfg = Config()
+    items = _tiny_joint_items(rng)
+    batch = collate_joint_dense(items, cap_multiple=512)
+    out_ch = 6 * NCLASSES + NCLASSES + 1
+    model = DenseMinkUNet(
+        in_channels=3, out_channels=out_ch, block="basic",
+        layers=(1,) * 8, planes=(8, 16, 32, 32, 32, 32, 16, 16), init_dim=8,
+        compute_dtype="float32",
+    )
+    optimizer = make_optimizer(0.0)
+    state = create_train_state_dense(model, optimizer, batch)
+    step = make_joint_train_step(model, optimizer, cfg, backbone="dense")
+    state, losses0 = step(state, batch, jnp.float32(1e-3), jnp.float32(0.5))
+    for _ in range(3):
+        state, losses = step(state, batch, jnp.float32(1e-3), jnp.float32(0.5))
+    assert np.isfinite(float(losses0["loss"]))
+    assert float(losses["loss"]) < float(losses0["loss"])
+
+
 def test_separate_train_step_runs(rng):
     cfg = Config()
     items = []
@@ -156,6 +262,34 @@ def test_separate_train_step_runs(rng):
     state, losses = step(state, batch, jnp.float32(1e-3), jnp.float32(0.5))
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_separate_training_runs_validation(rng, tmp_path):
+    """run_separate_training uses val_ds: every eval_every epochs it runs the
+    detection + mAP pass and returns per-category AP/Recall results
+    (reference train_separate.py:301-455)."""
+    import train_separate as ts
+    from canonicalvoting_tpu.train.separate_loop import run_separate_training
+
+    cfg = Config()
+    cfg.category = "03001627"  # chair
+    cfg.num_workers = 0
+    cfg.batch_size = 2
+    ds, gt_lookup = ts.build_synthetic_sym(cfg, n_scenes=2)
+    model = MinkUNet14A(3, 8, compute_dtype="float32")
+    state, ret = run_separate_training(
+        cfg, ds, ds, workdir=str(tmp_path), gt_lookup=gt_lookup,
+        eval_every=1, max_epoch=1, cap_multiple=512, model=model,
+    )
+    assert ret is not None
+    for thresh in (0.25, 0.5):
+        # per-class AP/Recall keys exist for the GT classes and aggregate
+        # mAP/AR are finite (the keyed classes come from the synthetic GT)
+        ap_keys = [k for k in ret[thresh] if k.endswith("Average Precision")]
+        rec_keys = [k for k in ret[thresh] if k.endswith("Recall")]
+        assert ap_keys and rec_keys
+        assert np.isfinite(ret[thresh]["mAP"])
+        assert np.isfinite(ret[thresh]["AR"])
 
 
 def test_checkpoint_roundtrip(rng, tmp_path):
