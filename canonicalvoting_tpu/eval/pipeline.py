@@ -70,6 +70,66 @@ def slice_separate_heads(out):
     return xyz, scale, prob
 
 
+def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
+                       res: float, cap_multiple: int, grid_multiple,
+                       backbone: str, conv_impl: str):
+    """Host-side scene prep shared by the joint and separate pipelines.
+
+    Returns an opaque args tuple tagged "dense" or "sparse"; all device
+    arrays are pre-staged with an async device_put so uploads overlap the
+    next scene's host prep.
+    """
+    n = len(coords)
+    dims_w = (coords.max(0) - coords.min(0)).astype(np.int32) + 1
+    grid_shape = round_grid_shape(dims_w, grid_multiple)
+    cap = int(np.ceil(max(n, 1) / cap_multiple) * cap_multiple)
+    feats = np.zeros((cap, feats_raw.shape[1]), np.float32)
+    feats[:n] = feats_raw
+    feats[:, -3:] = feats[:, -3:] * 2.0 - 1.0  # (:167-168)
+    valid = np.zeros((cap,), np.float32)
+    valid[:n] = 1.0
+    coords_p = np.zeros((cap, 3), np.int32)
+    coords_p[:n] = coords[:, -3:]
+    coords_w = coords_p.astype(np.float32) * res
+
+    if backbone == "dense":
+        from canonicalvoting_tpu.data.dense_prep import (
+            dense_flat_ids,
+            dense_grid_geometry,
+            level_tiles,
+        )
+
+        base, dense_dims = dense_grid_geometry(coords)
+        flat = np.full((cap,), -1, np.int32)
+        flat[:n] = dense_flat_ids(coords, base, dense_dims)
+        tiles = (
+            level_tiles(coords, base, dense_dims)
+            if conv_impl != "xla" else None
+        )
+        # pre-stage on device: per-call numpy->device uploads through
+        # the transfer path cost ~40-100 ms each (async here, so they
+        # overlap host prep of the next scene)
+        feats, flat, valid, coords_w, tiles = jax.device_put(
+            (feats, flat, valid, coords_w, tiles)
+        )
+        return ("dense", feats, flat, valid, coords_w, grid_shape,
+                dense_dims, tiles)
+
+    bcoords = batched_coordinates([coords])
+    pyr = build_pyramid(
+        bcoords, PyramidSpec(capacities=None, cap_multiple=cap_multiple)
+    )
+    n0 = pyr.coords[0].shape[0]
+    feats_s = np.zeros((n0, feats_raw.shape[1]), np.float32)
+    feats_s[:n] = feats_raw
+    feats_s[:, -3:] = feats_s[:, -3:] * 2.0 - 1.0
+    coords_w_s = pyr.coords[0][:, 1:].astype(np.float32) * res
+    feats_s, pyr_j, coords_w_s = jax.device_put(
+        (feats_s, pyr.as_jax_inputs(), coords_w_s)
+    )
+    return ("sparse", feats_s, pyr_j, coords_w_s, grid_shape)
+
+
 @dataclass
 class DetectionPipeline:
     """Joint-model scene detector with the reference's constants."""
@@ -222,55 +282,11 @@ class DetectionPipeline:
 
     def prepare_quantized(self, coords: np.ndarray, feats_raw: np.ndarray):
         """Prep from already-quantized voxels (dataset items)."""
-        n = len(coords)
-        dims_w = (coords.max(0) - coords.min(0)).astype(np.int32) + 1
-        grid_shape = round_grid_shape(dims_w, self.grid_multiple)
-        cap = int(np.ceil(max(n, 1) / self.cap_multiple) * self.cap_multiple)
-        feats = np.zeros((cap, feats_raw.shape[1]), np.float32)
-        feats[:n] = feats_raw
-        feats[:, -3:] = feats[:, -3:] * 2.0 - 1.0  # (:167-168)
-        valid = np.zeros((cap,), np.float32)
-        valid[:n] = 1.0
-        coords_p = np.zeros((cap, 3), np.int32)
-        coords_p[:n] = coords[:, -3:]
-        coords_w = coords_p.astype(np.float32) * self.res
-
-        if self.backbone == "dense":
-            from canonicalvoting_tpu.data.dense_prep import (
-                dense_flat_ids,
-                dense_grid_geometry,
-                level_tiles,
-            )
-
-            base, dense_dims = dense_grid_geometry(coords)
-            flat = np.full((cap,), -1, np.int32)
-            flat[:n] = dense_flat_ids(coords, base, dense_dims)
-            tiles = (
-                level_tiles(coords, base, dense_dims)
-                if self.conv_impl != "xla" else None
-            )
-            # pre-stage on device: per-call numpy->device uploads through
-            # the transfer path cost ~40-100 ms each (async here, so they
-            # overlap host prep of the next scene)
-            feats, flat, valid, coords_w, tiles = jax.device_put(
-                (feats, flat, valid, coords_w, tiles)
-            )
-            return ("dense", feats, flat, valid, coords_w, grid_shape,
-                    dense_dims, tiles)
-
-        bcoords = batched_coordinates([coords])
-        pyr = build_pyramid(
-            bcoords, PyramidSpec(capacities=None, cap_multiple=self.cap_multiple)
+        return prepare_scene_args(
+            coords, feats_raw, res=self.res, cap_multiple=self.cap_multiple,
+            grid_multiple=self.grid_multiple, backbone=self.backbone,
+            conv_impl=self.conv_impl,
         )
-        n0 = pyr.coords[0].shape[0]
-        feats_s = np.zeros((n0, feats_raw.shape[1]), np.float32)
-        feats_s[:n] = feats_raw
-        feats_s[:, -3:] = feats_s[:, -3:] * 2.0 - 1.0
-        coords_w_s = pyr.coords[0][:, 1:].astype(np.float32) * self.res
-        feats_s, pyr_j, coords_w_s = jax.device_put(
-            (feats_s, pyr.as_jax_inputs(), coords_w_s)
-        )
-        return ("sparse", feats_s, pyr_j, coords_w_s, grid_shape)
 
     def detect(self, points: np.ndarray, rgb: np.ndarray):
         """Full scene -> list of (classname, corners (8,3), prob)."""

@@ -2,8 +2,15 @@
 
 The reference runs 9 independent U-Net forwards + 9 Hough-voting passes per
 scene sequentially (reference eval_separate.py:165-186). Here the 9 models'
-parameters are STACKED and the whole backbone + vote + peel chain is vmapped
-over the category axis — one batched device program per scene.
+parameters are STACKED and the whole backbone + vote + peel chain runs as
+ONE device program per scene:
+
+  * backbone="dense" (default on TPU): scene prep (dense grid + occupied
+    tiles) is shared across the 9 categories, and a ``lax.scan`` over the
+    stacked parameters drives the Pallas occupied-tile backbone + obj-only
+    vote splat + lazy rot/scale decode once per category — the fast path
+    the joint pipeline uses, amortized 9 ways.
+  * backbone="sparse": the gather-form path, vmapped over categories.
 """
 
 from __future__ import annotations
@@ -17,9 +24,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from canonicalvoting_tpu.decode.peeling import PeelConfig, peel_boxes
-from canonicalvoting_tpu.eval.pipeline import slice_separate_heads
+from canonicalvoting_tpu.eval.pipeline import (
+    prepare_scene_args,
+    slice_separate_heads,
+)
 from canonicalvoting_tpu.metrics.ap import nms as nms_host
-from canonicalvoting_tpu.ops.hough_voting import hough_voting
+from canonicalvoting_tpu.ops.hough_voting import (
+    compute_corners,
+    grid_dims_from_corners,
+    hough_voting,
+    hough_voting_obj,
+    vote_stats_at_cell,
+)
 from canonicalvoting_tpu.ops.sparse_conv import valid_row_mask
 
 #: category order used by the separate evaluator
@@ -41,6 +57,13 @@ class SeparateDetectionPipeline:
     peel: PeelConfig = None
     nms_iou: float = 0.3
     hv_method: str = "auto"
+    grid_multiple: tuple = (64, 32, 128)
+    cap_multiple: int = 4096
+    # backbone/conv_impl/lazy_rot_scale mirror DetectionPipeline: "auto" =
+    # dense + tiled + lazy on TPU, sparse elsewhere
+    backbone: str = "auto"
+    conv_impl: str = "auto"
+    lazy_rot_scale: object = "auto"
 
     def __post_init__(self):
         if self.categories is None:
@@ -48,46 +71,137 @@ class SeparateDetectionPipeline:
         if self.peel is None:
             # eval_separate.py:209 uses the exclusive elimination slice
             self.peel = PeelConfig(res=self.res, elimination_inclusive=False)
+        on_tpu = jax.default_backend() == "tpu"
+        if self.backbone == "auto":
+            self.backbone = "dense" if on_tpu else "sparse"
+        if self.conv_impl == "auto":
+            self.conv_impl = "tiled" if on_tpu else "xla"
+        if self.lazy_rot_scale == "auto":
+            self.lazy_rot_scale = True
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _dense_model(self):
+        from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+
+        m = self.model
+        return DenseMinkUNet(
+            in_channels=m.in_channels, out_channels=m.out_channels,
+            block=m.block, layers=m.layers, planes=m.planes,
+            init_dim=m.init_dim, stem_kernel=m.stem_kernel,
+            compute_dtype=m.compute_dtype, bn_axis=m.bn_axis,
+            conv_impl=self.conv_impl,
+        )
+
+    def _vote_and_peel(self, xyz, scale, prob, coords_w, valid, grid_shape):
+        corners = compute_corners(coords_w, valid)
+        corner = corners[0]
+        if self.lazy_rot_scale:
+            go = hough_voting_obj(
+                coords_w, xyz, scale, prob, res=self.res,
+                num_rots=self.num_rots, grid_shape=grid_shape,
+                corners=corners, valid=valid, method=self.hv_method,
+            )
+            dims = jnp.minimum(
+                grid_dims_from_corners(corners, self.res),
+                jnp.asarray(grid_shape, jnp.int32),
+            )
+
+            def rot_scale_fn(cand):
+                return vote_stats_at_cell(
+                    coords_w, xyz, scale, prob, corner, dims, self.res,
+                    self.num_rots, cand, valid=valid,
+                )
+
+            return peel_boxes(
+                go, None, None, coords_w, xyz, prob, None, corner,
+                self.peel, valid=valid, rot_scale_fn=rot_scale_fn,
+            )
+        go, gr, gs = hough_voting(
+            coords_w, xyz, scale, prob, res=self.res, num_rots=self.num_rots,
+            grid_shape=grid_shape, corners=corners, valid=valid,
+            method=self.hv_method,
+        )
+        return peel_boxes(
+            go, gr, gs, coords_w, xyz, prob, None, corner, self.peel,
+            valid=valid,
+        )
 
     @functools.cached_property
-    def _scene_fn(self):
+    def _scene_fn_sparse(self):
         model = self.model
-        peel_cfg = self.peel
-        res = self.res
-        num_rots = self.num_rots
         log_scale = self.log_scale
-        hv_method = self.hv_method
 
         @functools.partial(jax.jit, static_argnames=("grid_shape",))
         def scene_fn(stacked_vars, feats, pyramid, coords_w, grid_shape):
             valid = valid_row_mask(feats.shape[0], pyramid["nvalid"][0])[:, 0]
-            corner = jnp.min(
-                jnp.where(valid[:, None] > 0, coords_w, jnp.float32(3e38)),
-                axis=0,
-            )
 
             def per_category(variables):
                 out = model.apply(variables, feats, pyramid, False)
                 xyz, scale, prob = slice_separate_heads(out)
                 if log_scale:
                     scale = jnp.exp(scale)
-                go, gr, gs = hough_voting(
-                    coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
-                    grid_shape=grid_shape, valid=valid, method=hv_method,
-                )
-                return peel_boxes(
-                    go, gr, gs, coords_w, xyz, prob, None, corner, peel_cfg,
-                    valid=valid,
-                )
+                return self._vote_and_peel(xyz, scale, prob, coords_w,
+                                           valid, grid_shape)
 
             return jax.vmap(per_category)(stacked_vars)
 
         return scene_fn
 
-    def detect(self, feats, pyramid, coords_w, grid_shape):
-        out = self._scene_fn(
+    @functools.cached_property
+    def _scene_fn_dense(self):
+        dense_model = self._dense_model
+        log_scale = self.log_scale
+
+        @functools.partial(jax.jit,
+                           static_argnames=("dense_dims", "grid_shape"))
+        def scene_fn(stacked_vars, feats, flat, valid, coords_w, dense_dims,
+                     grid_shape, tiles):
+            def per_category(_, variables):
+                out = dense_model.apply(
+                    variables, feats, flat, valid, dense_dims, False,
+                    tiles=tiles,
+                )
+                xyz, scale, prob = slice_separate_heads(out)
+                if log_scale:
+                    scale = jnp.exp(scale)
+                return 0, self._vote_and_peel(xyz, scale, prob, coords_w,
+                                              valid, grid_shape)
+
+            # scan (not vmap): each backbone pass saturates the chip, so the
+            # categories run back-to-back inside one dispatch; scanning also
+            # keeps the Pallas tiled kernels on their single-scene layout
+            _, outs = jax.lax.scan(per_category, 0, stacked_vars)
+            return outs
+
+        return scene_fn
+
+    # ------------------------------------------------------------------
+    def prepare_quantized(self, coords: np.ndarray, feats_raw: np.ndarray):
+        """Shared (across all 9 categories) host prep for one scene."""
+        return prepare_scene_args(
+            coords, feats_raw, res=self.res, cap_multiple=self.cap_multiple,
+            grid_multiple=self.grid_multiple, backbone=self.backbone,
+            conv_impl=self.conv_impl,
+        )
+
+    def run_scene(self, args):
+        """One device program covering all categories for one scene."""
+        if args[0] == "dense":
+            (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
+             tiles) = args
+            return self._scene_fn_dense(
+                self.stacked_variables, feats, flat, valid, coords_w,
+                tuple(dense_dims), grid_shape, tiles,
+            )
+        _, feats, pyramid, coords_w, grid_shape = args
+        return self._scene_fn_sparse(
             self.stacked_variables, feats, pyramid, coords_w, grid_shape
         )
+
+    def postprocess(self, out) -> list:
+        """Host NMS per category -> [(category, corners (8,3), prob)]."""
+        out = jax.device_get(out)
         map_scene = []
         n_boxes = np.asarray(out["n_boxes"])
         boxes = np.asarray(out["boxes"])
@@ -100,6 +214,11 @@ class SeparateDetectionPipeline:
             for j in nms_host(b, s, self.nms_iou):
                 map_scene.append((category, b[j], float(s[j])))
         return map_scene
+
+    def detect(self, coords: np.ndarray, feats_raw: np.ndarray) -> list:
+        """Full quantized scene -> detections across all categories."""
+        return self.postprocess(self.run_scene(
+            self.prepare_quantized(coords, feats_raw)))
 
 
 def stack_variables(variables_list: List[Dict]) -> Dict:

@@ -32,7 +32,6 @@ def main(argv):
     from canonicalvoting_tpu.metrics.ap import compute_map
     from canonicalvoting_tpu.models import MinkUNet34C
     from canonicalvoting_tpu.ops.coords import PyramidSpec, build_pyramid
-    from canonicalvoting_tpu.ops.hough_voting import round_grid_shape
     from canonicalvoting_tpu.ops.voxelize import batched_coordinates
 
     synthetic = "--synthetic" in argv
@@ -68,17 +67,6 @@ def main(argv):
     gt_map_cls = {}
     for item in scenes:
         id_scan, coords, feats_raw = item[0], item[1], item[2]
-        pyr = build_pyramid(batched_coordinates([coords]),
-                            PyramidSpec(cap_multiple=4096))
-        n0 = pyr.coords[0].shape[0]
-        feats = np.zeros((n0, feats_raw.shape[1]), np.float32)
-        feats[: len(feats_raw)] = feats_raw
-        feats[:, -3:] = feats[:, -3:] * 2.0 - 1.0
-        coords_w = pyr.coords[0][:, 1:].astype(np.float32) * cfg.scannet_res
-        nv = pyr.nvalid[0]
-        dims = ((coords_w[:nv].max(0) - coords_w[:nv].min(0))
-                / cfg.scannet_res).astype(np.int32) + 1
-        gshape = round_grid_shape(dims, (64, 64, 128))
 
         if pipe is None:
             variables_list = []
@@ -105,8 +93,17 @@ def main(argv):
                             make_optimizer,
                         )
 
+                        # structural template for restore
+                        pyr = build_pyramid(
+                            batched_coordinates([coords]),
+                            PyramidSpec(cap_multiple=4096),
+                        )
+                        feats0 = np.zeros(
+                            (pyr.coords[0].shape[0], feats_raw.shape[1]),
+                            np.float32,
+                        )
                         st = create_train_state(
-                            model, make_optimizer(0.0), feats,
+                            model, make_optimizer(0.0), feats0,
                             pyr.as_jax_inputs(),
                         )
                         st, _ = restore_checkpoint(path_ckpt, st)
@@ -114,10 +111,18 @@ def main(argv):
                             {"params": st.params, "batch_stats": st.batch_stats}
                         )
                         continue
+                from canonicalvoting_tpu.ops.coords import (
+                    PyramidSpec as PS,
+                )
                 from canonicalvoting_tpu.train.steps import init_variables
 
+                pyr = build_pyramid(batched_coordinates([coords]),
+                                    PS(cap_multiple=4096))
+                feats0 = np.zeros(
+                    (pyr.coords[0].shape[0], feats_raw.shape[1]), np.float32
+                )
                 variables_list.append(init_variables(
-                    model, feats, pyr.as_jax_inputs(), train=False,
+                    model, feats0, pyr.as_jax_inputs(), train=False,
                     seed=hash(category) % 2**31,
                 ))
             pipe = SeparateDetectionPipeline(
@@ -126,7 +131,7 @@ def main(argv):
                 res=cfg.scannet_res, log_scale=cfg.log_scale,
             )
 
-        dets = pipe.detect(feats, pyr.as_jax_inputs(), coords_w, gshape)
+        dets = pipe.detect(coords, feats_raw)
         pred_map_cls[id_scan] = dets
         if gt_lookup is not None:
             gt_map_cls[id_scan] = gt_lookup(id_scan)
