@@ -44,6 +44,75 @@ def test_point_sharded_voting_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]), atol=1e-3)
 
 
+def test_scene_parallel_eval_matches_per_scene(rng):
+    """Scenes sharded over an 8-device 'data' axis decode the same boxes as
+    running each scene through the chain individually."""
+    from canonicalvoting_tpu.data.synthetic import make_scene
+    from canonicalvoting_tpu.decode.peeling import PeelConfig, peel_boxes
+    from canonicalvoting_tpu.eval.pipeline import slice_joint_heads
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+    from canonicalvoting_tpu.ops.hough_voting import compute_corners
+    from canonicalvoting_tpu.ops.sparse_conv import valid_row_mask
+    from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+    from canonicalvoting_tpu.parallel.scene_parallel import (
+        collate_eval_scenes,
+        make_sharded_eval_fn,
+    )
+    from canonicalvoting_tpu.train.steps import init_variables
+
+    res = 0.03
+    n_dev = 8
+    scenes = []
+    for i in range(n_dev):
+        sc = make_scene(rng, extent=(0.85, 0.8, 0.85), n_background=400,
+                        n_boxes=1, pts_per_box=150)
+        coords, idx = sparse_quantize(sc.points, res)
+        scenes.append((coords, sc.rgb[idx]))
+    cap = 1024
+    assert all(len(c) <= cap for c, _ in scenes)
+    batch = collate_eval_scenes(scenes, cap=cap, res=res)
+
+    model = MinkUNetBase(
+        in_channels=3, out_channels=6 * 9 + 9 + 1, block="basic",
+        layers=(1,) * 8, planes=(8, 16, 32, 32, 32, 32, 16, 16), init_dim=8,
+        compute_dtype="float32",
+    )
+    variables = init_variables(
+        model, batch["feats"][0], jax.tree_util.tree_map(
+            lambda x: x[0], batch["pyramid"]), train=False,
+    )
+
+    mesh = make_mesh(data=n_dev, model=1)
+    gshape = (32, 32, 32)
+    peel = PeelConfig(res=res, max_boxes=8, max_iters=16)
+    with mesh:
+        run = make_sharded_eval_fn(model, mesh, res=res, num_rots=12,
+                                   peel=peel, grid_shape=gshape)
+        out = jax.device_get(run(variables, batch))
+
+    from canonicalvoting_tpu.ops.hough_voting import hough_voting
+
+    for s in range(n_dev):
+        feats = batch["feats"][s]
+        pyramid = jax.tree_util.tree_map(lambda x: x[s], batch["pyramid"])
+        coords_w = batch["coords_w"][s]
+        o = model.apply(variables, feats, pyramid, False)
+        xyz, scale, class_pred, prob = slice_joint_heads(o)
+        scale = jnp.exp(scale)
+        valid = valid_row_mask(feats.shape[0], pyramid["nvalid"][0])[:, 0]
+        corners = compute_corners(coords_w, valid)
+        go, gr, gs = hough_voting(coords_w, xyz, scale, prob, res=res,
+                                  num_rots=12, grid_shape=gshape,
+                                  corners=corners, valid=valid)
+        ref = jax.device_get(peel_boxes(go, gr, gs, coords_w, xyz, prob,
+                                        class_pred, corners[0], peel,
+                                        valid=valid))
+        assert int(out["n_boxes"][s]) == int(ref["n_boxes"])
+        n = int(ref["n_boxes"])
+        np.testing.assert_allclose(out["boxes"][s][:n], ref["boxes"][:n],
+                                   atol=1e-4)
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__ as graft
 
