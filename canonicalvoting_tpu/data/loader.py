@@ -1,19 +1,45 @@
 """Background-prefetch data loader.
 
-Replaces torch DataLoader(num_workers=10) (reference train_joint.py:211):
-a thread pool maps dataset.__getitem__ + collate over shuffled indices and
-prefetches batches ahead of the training step, overlapping host-side label
-math / pyramid building with device compute.
+Replaces torch DataLoader(num_workers=10) (reference train_joint.py:211).
+Two worker modes:
+
+  * "process" (default for num_workers >= 2, like the reference's process
+    workers): a persistent fork pool runs ``__getitem__`` AND ``collate_fn``
+    for whole batches in worker processes — PLY parsing, label math,
+    quantization and pyramid/dense-id building are GIL-bound numpy/Python
+    (collate measured ~10x the item cost), so both must fan out to hit
+    training ingest rates. The pool is created once and reused across
+    epochs (fork shares dataset + collate closure copy-on-write).
+  * "thread": a thread pool over items with collate in the producer thread
+    — enough for precomputed/ListDataset items and used in tests.
+
+A producer thread prefetches finished batches ahead of the training step,
+overlapping host work with device compute. Worker processes never touch JAX.
 """
 
 from __future__ import annotations
 
+import atexit
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Sequence
 
 import numpy as np
+
+_WORKER_DS = None
+_WORKER_COLLATE = None
+
+
+def _pool_init(ds, collate):
+    global _WORKER_DS, _WORKER_COLLATE
+    _WORKER_DS = ds
+    _WORKER_COLLATE = collate
+
+
+def _pool_collate_batch(chunk):
+    return _WORKER_COLLATE([_WORKER_DS[int(i)] for i in chunk])
 
 
 class DataLoader:
@@ -27,6 +53,7 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         seed: int = 0,
+        workers_mode: str = "auto",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -36,6 +63,30 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
+        if workers_mode == "auto":
+            workers_mode = "process" if self.num_workers >= 2 else "thread"
+        self.workers_mode = workers_mode
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            # fork: dataset + collate_fn are inherited by the children
+            # (no pickling — lambdas/closures are fine as initargs)
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_pool_init,
+                initargs=(self.dataset, self.collate_fn),
+            )
+            atexit.register(self.close)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        self.close()
 
     def __len__(self):
         n = len(self.dataset)
@@ -54,19 +105,42 @@ class DataLoader:
             yield chunk
 
     def __iter__(self) -> Iterator:
-        def produce(chunk):
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                items = list(pool.map(self.dataset.__getitem__, chunk))
-            return self.collate_fn(items)
+        # whole BATCHES (items + collate) are fanned out across worker
+        # processes through one ordered imap — collate (pyramid / dense-id
+        # building) is the dominant host cost and must parallelize too, not
+        # just __getitem__; the producer thread only forwards finished
+        # batch dicts (a few MB each through the fork pipe)
+        batches = list(self._batches())
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
         def worker():
+            tp = None
             try:
-                for chunk in self._batches():
-                    q.put(produce(chunk))
+                if self.workers_mode == "process":
+                    pool = self._ensure_pool()
+                    batch_iter = pool.imap(
+                        _pool_collate_batch,
+                        [[int(i) for i in c] for c in batches], chunksize=1,
+                    )
+                else:
+                    tp = ThreadPoolExecutor(max_workers=self.num_workers)
+                    flat = [int(i) for chunk in batches for i in chunk]
+                    item_iter = tp.map(self.dataset.__getitem__, flat)
+
+                    def gen():
+                        for chunk in batches:
+                            yield self.collate_fn(
+                                [next(item_iter) for _ in range(len(chunk))]
+                            )
+
+                    batch_iter = gen()
+                for batch in batch_iter:
+                    q.put(batch)
             finally:
+                if tp is not None:
+                    tp.shutdown(wait=False)
                 q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)

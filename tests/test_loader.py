@@ -1,0 +1,73 @@
+"""DataLoader worker-mode tests: process fan-out correctness + modes."""
+
+import os
+
+import numpy as np
+
+from canonicalvoting_tpu.data.loader import DataLoader, ListDataset
+
+
+class _PidDataset:
+    """Returns (index, worker pid) — identifies which process ran the work."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        # some real numpy work so the pool actually fans out
+        a = np.random.RandomState(i).rand(64, 64)
+        s = float((a @ a).sum())
+        return (int(i), os.getpid(), s)
+
+
+def _collate(items):
+    return items
+
+
+def test_process_loader_yields_all_items_from_worker_processes():
+    ds = _PidDataset(24)
+    loader = DataLoader(ds, batch_size=4, collate_fn=_collate, shuffle=False,
+                        num_workers=4, workers_mode="process")
+    seen = []
+    pids = set()
+    for batch in loader:
+        for i, pid, s in batch:
+            seen.append(i)
+            pids.add(pid)
+    loader.close()
+    assert seen == list(range(24))
+    # the items were produced OUTSIDE this process
+    assert os.getpid() not in pids
+    assert len(pids) >= 2
+
+
+def test_process_loader_reuses_pool_across_epochs():
+    ds = _PidDataset(8)
+    loader = DataLoader(ds, batch_size=4, collate_fn=_collate, shuffle=False,
+                        num_workers=2, workers_mode="process")
+    pids1 = {pid for b in loader for _, pid, _ in b}
+    pids2 = {pid for b in loader for _, pid, _ in b}
+    loader.close()
+    assert pids1 == pids2  # persistent pool, no per-epoch respawn
+
+
+def test_thread_loader_matches(rng):
+    items = [(i, rng.rand(8)) for i in range(10)]
+    ds = ListDataset(items)
+    loader = DataLoader(ds, batch_size=3, collate_fn=_collate, shuffle=False,
+                        num_workers=1, workers_mode="thread", drop_last=False)
+    got = [i for b in loader for i, _ in b]
+    assert got == list(range(10))
+    assert len(loader) == 4
+
+
+def test_auto_mode_selection():
+    ds = ListDataset([1, 2, 3])
+    a = DataLoader(ds, 1, _collate, num_workers=4)
+    b = DataLoader(ds, 1, _collate, num_workers=1)
+    assert a.workers_mode == "process"
+    assert b.workers_mode == "thread"
+    a.close()
