@@ -48,7 +48,7 @@ def main():
     )
     # init variables under jit with the first scene's dense geometry
     args0 = pipe.prepare_scene(scenes[0].points, scenes[0].rgb)
-    _, feats0, flat0, valid0, _, _, dense_dims0, _ = args0
+    _, feats0, flat0, valid0, _, _, dense_dims0 = args0[:7]
     dense_model = pipe._dense_model
     init_fn = jax.jit(
         lambda r, f, fi, v: dense_model.init(r, f, fi, v, tuple(dense_dims0),

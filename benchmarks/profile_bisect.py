@@ -53,7 +53,8 @@ def main():
         peel=PeelConfig(res=0.03, max_boxes=64, max_iters=96),
         cap_multiple=8192, backbone="dense")
     args = pipe.prepare_scene(scene.points, scene.rgb)
-    _, feats, flat, valid, coords_w, grid_shape, dense_dims, tiles = args
+    (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
+     tiles, run_spec, run_tiles) = args
     dm = pipe._dense_model
     variables = jax.jit(
         lambda r, f, fi, v: dm.init(r, f, fi, v, tuple(dense_dims), False,

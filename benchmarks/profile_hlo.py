@@ -15,7 +15,8 @@ model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
 pipe = DetectionPipeline(model=model, variables=None, res=0.03, num_rots=120,
                          peel=PeelConfig(res=0.03), cap_multiple=8192, backbone="dense")
 args = pipe.prepare_scene(scene.points, scene.rgb)
-_, feats, flat, valid, coords_w, grid_shape, dense_dims, _tiles = args
+(_, feats, flat, valid, coords_w, grid_shape, dense_dims,
+     _tiles, _rs, _rt) = args
 dm = pipe._dense_model
 variables = jax.jit(lambda r, f, fi, v: dm.init(r, f, fi, v, tuple(dense_dims), False))(
     jax.random.PRNGKey(0), feats, flat, valid)

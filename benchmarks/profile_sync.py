@@ -38,7 +38,7 @@ def main():
         cap_multiple=8192, backbone="dense",
     )
     args0 = pipe.prepare_scene(scenes[0].points, scenes[0].rgb)
-    _, feats0, flat0, valid0, _, _, dense_dims0, _ = args0
+    _, feats0, flat0, valid0, _, _, dense_dims0 = args0[:7]
     dm = pipe._dense_model
     pipe.variables = jax.jit(
         lambda r, f_, fi, v: dm.init(r, f_, fi, v, tuple(dense_dims0), False)

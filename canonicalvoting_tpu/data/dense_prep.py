@@ -43,6 +43,89 @@ TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
 STEM_KEY = -1
 STEM_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((8, 8, 32), 2)
 
+# tiles-per-step for the fused residual-block kernel (tiled_block3d): its
+# VMEM footprint is ~2.5x a single conv's (two zbufs + the expanded mid
+# scratch), so groups are smaller than TILE_PLAN's
+BLOCK_GROUP: Dict[int, int] = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+
+# z-run decomposition plan for the k=3 convs: occupied tiles that are
+# z-adjacent (floors/walls give mean run length ~3.3) are chopped greedily
+# into these run lengths, largest first — each chunk moves with ONE DMA of
+# ONE (TX, TY, R*TZ) window, cutting the per-tile DMA issue+segment cost
+# that binds the conv kernels. (R, group) per level; groups shrink as R
+# grows to keep VMEM and per-step rows roughly constant.
+RUN_PLAN: Dict[int, Tuple[Tuple[int, int], ...]] = {
+    0: ((8, 2), (4, 4), (2, 8), (1, 16)),
+    1: ((4, 1), (2, 2), (1, 4)),
+    2: ((4, 1), (2, 1), (1, 2)),
+    3: ((2, 2), (1, 4)),
+    4: ((1, 4),),
+}
+
+
+def level_tile_runs(coords: np.ndarray, base: np.ndarray,
+                    dims: Tuple[int, int, int], run_plan=None,
+                    tile_plan=None, pad_multiple: int = 8):
+    """{level: [(R, group, chunks (T, 3) int32), ...]} z-run decomposition.
+
+    Occupied tiles (TILE_PLAN shapes) are grouped into maximal z-adjacent
+    runs, then greedily chopped into the plan's R sizes (binary-style, no
+    coverage padding). Chunk coords are run STARTS in base-tile units.
+    Each per-R list is padded to lcm(pad_multiple, group) by repeating its
+    last chunk (duplicate chunks rewrite identical bytes — benign) and
+    bucketed geometrically like level_tiles to bound recompiles.
+    """
+    if run_plan is None:
+        run_plan = RUN_PLAN
+    if tile_plan is None:
+        tile_plan = TILE_PLAN
+    c0 = coords[:, -3:].astype(np.int64) - base.astype(np.int64)
+    c0 = c0[np.all((c0 >= 0) & (c0 < np.asarray(dims)), axis=1)]
+    out = {}
+    for lvl, plan in run_plan.items():
+        if lvl not in tile_plan:
+            continue
+        ts = np.asarray(tile_plan[lvl][0])
+        d = tuple(x >> lvl for x in dims)
+        if any(dd % tt for dd, tt in zip(d, ts)):
+            continue
+        tc = (c0 >> lvl) // ts
+        nty, ntz = d[1] // int(ts[1]), d[2] // int(ts[2])
+        fl = np.unique((tc[:, 0] * nty + tc[:, 1]) * ntz + tc[:, 2])
+        # maximal z-runs: consecutive flat ids within one (x, y) row
+        brk = np.ones(len(fl), bool)
+        if len(fl) > 1:
+            brk[1:] = (fl[1:] != fl[:-1] + 1) | (fl[1:] % ntz == 0)
+        run_start = np.flatnonzero(brk)
+        run_len = np.diff(np.append(run_start, len(fl)))
+        sizes = sorted((r for r, _ in plan), reverse=True)
+        per_r = {r: [] for r in sizes}
+        for s0, L in zip(run_start, run_len):
+            off = 0
+            rem = int(L)
+            for r in sizes:
+                while rem >= r:
+                    per_r[r].append(fl[s0 + off])
+                    off += r
+                    rem -= r
+        entries = []
+        for r, group in plan:
+            ids = np.asarray(per_r[r], dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            t = np.stack([ids // (nty * ntz), (ids // ntz) % nty,
+                          ids % ntz], axis=1).astype(np.int32)
+            m = int(np.lcm(pad_multiple, group))
+            m = int(np.lcm(m, 1 << max(int(len(t)).bit_length() - 4, 0)))
+            pad = int(np.ceil(len(t) / m) * m) - len(t)
+            if pad:
+                t = np.concatenate([t, np.repeat(t[-1:], pad, axis=0)],
+                                   axis=0)
+            entries.append((r, group, t))
+        if entries:
+            out[lvl] = entries
+    return out
+
 
 def dense_grid_geometry(coords: np.ndarray, dim_multiple: int = 32,
                         ) -> Tuple[np.ndarray, Tuple[int, int, int]]:

@@ -96,24 +96,35 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
         from canonicalvoting_tpu.data.dense_prep import (
             dense_flat_ids,
             dense_grid_geometry,
+            level_tile_runs,
             level_tiles,
         )
 
         base, dense_dims = dense_grid_geometry(coords)
         flat = np.full((cap,), -1, np.int32)
         flat[:n] = dense_flat_ids(coords, base, dense_dims)
-        tiles = (
-            level_tiles(coords, base, dense_dims)
-            if conv_impl != "xla" else None
-        )
+        tiles = None
+        run_spec = ()
+        run_tiles = None
+        if conv_impl != "xla":
+            tiles = level_tiles(coords, base, dense_dims)
+            # z-run decomposition for the k=3 convs: (R, G) per chunk list
+            # is STATIC (jit key); chunk arrays ride as operands
+            runs = level_tile_runs(coords, base, dense_dims)
+            run_spec = tuple(sorted(
+                (k, tuple((R, G, len(t)) for (R, G, t) in lst))
+                for k, lst in runs.items()
+            ))
+            run_tiles = {k: tuple(t for (_R, _G, t) in lst)
+                         for k, lst in runs.items()}
         # pre-stage on device: per-call numpy->device uploads through
         # the transfer path cost ~40-100 ms each (async here, so they
         # overlap host prep of the next scene)
-        feats, flat, valid, coords_w, tiles = jax.device_put(
-            (feats, flat, valid, coords_w, tiles)
+        feats, flat, valid, coords_w, tiles, run_tiles = jax.device_put(
+            (feats, flat, valid, coords_w, tiles, run_tiles)
         )
         return ("dense", feats, flat, valid, coords_w, grid_shape,
-                dense_dims, tiles)
+                dense_dims, tiles, run_spec, run_tiles)
 
     bcoords = batched_coordinates([coords])
     pyr = build_pyramid(
@@ -128,6 +139,17 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
         (feats_s, pyr.as_jax_inputs(), coords_w_s)
     )
     return ("sparse", feats_s, pyr_j, coords_w_s, grid_shape)
+
+
+def assemble_runs(run_spec, run_tiles):
+    """Rebuild {level: [(R, G, chunks), ...]} from the static spec + the
+    operand chunk arrays (see prepare_scene_args)."""
+    if not run_spec or run_tiles is None:
+        return None
+    return {
+        k: [(R, G, t) for (R, G, _n), t in zip(spec, run_tiles[k])]
+        for k, spec in run_spec
+    }
 
 
 @dataclass
@@ -254,12 +276,14 @@ class DetectionPipeline:
 
         if backbone == "dense":
 
-            @functools.partial(jax.jit, static_argnames=("dense_dims",))
+            @functools.partial(jax.jit,
+                               static_argnames=("dense_dims", "run_spec"))
             def backbone_fn(variables, feats, flat_idx, valid, dense_dims,
-                            tiles=None):
+                            tiles=None, run_spec=(), run_tiles=None):
                 return dense_model.apply(
                     variables, feats, flat_idx, valid, dense_dims, False,
                     tiles=tiles,
+                    tile_runs=assemble_runs(run_spec, run_tiles),
                 )
 
             return backbone_fn
@@ -298,10 +322,10 @@ class DetectionPipeline:
         kind = args[0]
         if kind == "dense":
             (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
-             tiles) = args
+             tiles, run_spec, run_tiles) = args
             out = self._backbone_fn(
                 self.variables, feats, flat, valid, tuple(dense_dims),
-                tiles=tiles,
+                tiles=tiles, run_spec=run_spec, run_tiles=run_tiles,
             )
             return self._tail_fn(out, coords_w, valid, grid_shape)
         _, feats, pyramid, coords_w, grid_shape = args

@@ -25,6 +25,7 @@ import numpy as np
 
 from canonicalvoting_tpu.decode.peeling import PeelConfig, peel_boxes
 from canonicalvoting_tpu.eval.pipeline import (
+    assemble_runs,
     prepare_scene_args,
     slice_separate_heads,
 )
@@ -154,13 +155,15 @@ class SeparateDetectionPipeline:
         log_scale = self.log_scale
 
         @functools.partial(jax.jit,
-                           static_argnames=("dense_dims", "grid_shape"))
+                           static_argnames=("dense_dims", "grid_shape",
+                                            "run_spec"))
         def scene_fn(stacked_vars, feats, flat, valid, coords_w, dense_dims,
-                     grid_shape, tiles):
+                     grid_shape, tiles, run_spec=(), run_tiles=None):
             def per_category(_, variables):
                 out = dense_model.apply(
                     variables, feats, flat, valid, dense_dims, False,
                     tiles=tiles,
+                    tile_runs=assemble_runs(run_spec, run_tiles),
                 )
                 xyz, scale, prob = slice_separate_heads(out)
                 if log_scale:
@@ -189,10 +192,11 @@ class SeparateDetectionPipeline:
         """One device program covering all categories for one scene."""
         if args[0] == "dense":
             (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
-             tiles) = args
+             tiles, run_spec, run_tiles) = args
             return self._scene_fn_dense(
                 self.stacked_variables, feats, flat, valid, coords_w,
                 tuple(dense_dims), grid_shape, tiles,
+                run_spec=run_spec, run_tiles=run_tiles,
             )
         _, feats, pyramid, coords_w, grid_shape = args
         return self._scene_fn_sparse(

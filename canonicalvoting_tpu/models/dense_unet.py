@@ -196,14 +196,27 @@ class DenseConv(nn.Module):
                 res = residual[0].astype(dt)
                 if res_w is None:
                     res = pad_lanes(res, _lanes(self.out_channels))
-            out = tiled_conv3d(
-                xin, w.astype(dt), tiles, kernel_size=k,
-                scale=scale, bias=bias, occ=occ, residual=res,
-                res_w=res_w, res_scale=res_scale, res_bias=res_bias,
-                relu_out=relu_out, tile_shape=ts, group=group,
-                interpret=(self.conv_impl == "tiled_interpret"),
-            )[None]
-            return out
+            # tiles: a plain (T, 3) array, or a z-run decomposition
+            # [(R, group, chunks), ...] (data.dense_prep.level_tile_runs) —
+            # one pallas_call per run length, chained through a donated
+            # output buffer; occ then carries the per-R pack list
+            if isinstance(tiles, (list, tuple)):
+                run_list = tiles
+                occ_list = occ if occ is not None else [None] * len(run_list)
+            else:
+                run_list = [(1, group, tiles)]
+                occ_list = [occ]
+            outbuf = None
+            for (R, Gr, t), occ_c in zip(run_list, occ_list):
+                outbuf = tiled_conv3d(
+                    xin, w.astype(dt), t, kernel_size=k,
+                    scale=scale, bias=bias, occ=occ_c, residual=res,
+                    res_w=res_w, res_scale=res_scale, res_bias=res_bias,
+                    relu_out=relu_out, tile_shape=ts, group=Gr, zrun=R,
+                    out=outbuf,
+                    interpret=(self.conv_impl == "tiled_interpret"),
+                )
+            return outbuf[None]
         assert scale is None and occ is None and residual is None \
             and not relu_out, "epilogue fusion requires the tiled path"
         if k == 1:
@@ -264,7 +277,7 @@ class DenseBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None,
-                 ts_group=None, occp=None):
+                 ts_group=None, occp=None, occe=None, block_group=None):
         conv1 = DenseConv(self.in_channels, self.planes, 3,
                           compute_dtype=self.compute_dtype,
                           conv_impl=self.conv_impl, name="conv1")
@@ -286,20 +299,43 @@ class DenseBasicBlock(nn.Module):
         fused = (tiles is not None and occp is not None and not train
                  and self.conv_impl != "xla")
         if fused:
-            # inference path: BN folded to per-channel affine + occupancy
-            # mask + (optionally 1x1-downsampled) residual add + relu all
-            # run in the two conv kernels' epilogues
             a1, b1 = norm1(None, None, False, return_affine=True)
-            out = conv1(x, tiles, ts_group, scale=a1, bias=b1, occ=occp,
-                        relu_out=True)
             a2, b2 = norm2(None, None, False, return_affine=True)
+            wds = ars = brs = None
             if downsample:
                 wds = ds_conv(None, return_kernel=True)  # (1, Cin, planes)
+                wds = wds.reshape(self.in_channels, self.planes)
                 ars, brs = ds_norm(None, None, False, return_affine=True)
+            use_block = False  # measured 2.2x slower than two-conv at L0
+            if use_block and occe is not None and block_group is not None:
+                # whole block in ONE kernel: 1 in + 1 out DMA per tile
+                # instead of the two-conv path's 5 (see tiled_block3d)
+                from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+                    tiled_block3d)
+
+                dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" \
+                    else jnp.float32
+                w1 = conv1(None, return_kernel=True).astype(dt)
+                w2 = conv2(None, return_kernel=True).astype(dt)
+                xin = pad_lanes(x[0].astype(dt), _lanes(self.in_channels))
+                return tiled_block3d(
+                    xin, w1, w2, tiles,
+                    scale1=a1, bias1=b1, scale2=a2, bias2=b2, occ_e=occe,
+                    res_w=None if wds is None else wds.astype(dt),
+                    res_scale=ars, res_bias=brs,
+                    tile_shape=ts_group[0], group=block_group,
+                    interpret=(self.conv_impl == "tiled_interpret"),
+                )[None]
+            # two-conv fused path: BN folded to per-channel affine +
+            # occupancy mask + (1x1-downsampled) residual add + relu in
+            # the conv kernels' epilogues
+            out = conv1(x, tiles, ts_group, scale=a1, bias=b1, occ=occp,
+                        relu_out=True)
+            if downsample:
                 return conv2(out, tiles, ts_group, scale=a2, bias=b2,
                              occ=occp, residual=x,
-                             res_w=wds.reshape(self.in_channels, self.planes),
-                             res_scale=ars, res_bias=brs, relu_out=True)
+                             res_w=wds, res_scale=ars, res_bias=brs,
+                             relu_out=True)
             return conv2(out, tiles, ts_group, scale=a2, bias=b2, occ=occp,
                          residual=x, relu_out=True)
 
@@ -408,22 +444,27 @@ class DenseMinkUNet(nn.Module):
     stem_impl: str = "tiled"
 
     def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
-                tiles=None, ts_group=None, occp=None):
+                tiles=None, ts_group=None, occp=None, occe=None,
+                block_group=None):
         blk = _DENSE_BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
+        kw = {}
+        if blk is DenseBasicBlock:
+            kw = dict(occe=occe, block_group=block_group)
         for j in range(n_blocks):
             x = blk(ch, planes, compute_dtype=self.compute_dtype,
                     bn_axis=self.bn_axis, conv_impl=self.conv_impl,
                     name=f"{name}_{j}")(
-                x, occ, train, mom, tiles=tiles, ts_group=ts_group, occp=occp)
+                x, occ, train, mom, tiles=tiles, ts_group=ts_group,
+                occp=occp, **kw)
             ch = planes * exp
         return x, ch
 
     @nn.compact
     def __call__(self, feats, flat_idx, valid, grid_dims: Tuple[int, int, int],
                  train: bool = False, bn_momentum=0.1, tiles=None,
-                 n_scenes: int = 1):
+                 n_scenes: int = 1, tile_runs=None):
         from canonicalvoting_tpu.data.dense_prep import (
             STEM_KEY, STEM_TILE_PLAN, TILE_PLAN)
 
@@ -476,9 +517,15 @@ class DenseMinkUNet(nn.Module):
             occ.append(jnp.pad(
                 o, ((0, 0), (MX, MX), (MY, MY), (MZ, MZ))))
         # per-tile packed occupancy for the fused tiled-conv epilogue;
-        # the up kernel needs a parity-major pack of the same lists
+        # the up kernel needs a parity-major pack of the same lists, the
+        # fused block kernel a one-cell-expanded pack
+        from canonicalvoting_tpu.data.dense_prep import BLOCK_GROUP
+
         occp = {}
         occp_up = {}
+        occp_e = {}
+        conv_tiles = {}   # k=3 conv tile source: z-run lists when available
+        conv_occ = {}
         if tiled:
             from canonicalvoting_tpu.ops.pallas.tiled_conv import (
                 pack_occ, pack_occ_parity)
@@ -489,6 +536,18 @@ class DenseMinkUNet(nn.Module):
                 if tsg[key][0][2] % 16 == 0:  # usable by tiled_up2
                     occp_up[key] = pack_occ_parity(occ[lvl][0], t,
                                                    tsg[key][0])
+                # occp_e (fused block kernel) intentionally not packed:
+                # the block kernel measured slower than the two-conv path
+                # (benchmarks/bench_block.py) and is disabled
+            for key, lst in (tile_runs or {}).items():
+                if key not in tiles:
+                    continue
+                lvl = max(key, 0)
+                conv_tiles[key] = lst
+                conv_occ[key] = [
+                    pack_occ(occ[lvl][0], t, tsg[key][0], zrun=R)
+                    for (R, _G, t) in lst
+                ]
 
         # --- stem
         stem = DenseConv(self.in_channels, self.init_dim, self.stem_kernel,
@@ -542,10 +601,13 @@ class DenseMinkUNet(nn.Module):
                 x = nn.relu(x)
                 if tiled and (i + 1) in tiles:
                     x = pad_lanes(x, _lanes(ch))
-            x, ch = self._blocks(f"block{i + 1}", x, occ[i + 1], ch, pl_[i],
-                                 ly[i], train, mom, tiles=tiles.get(i + 1),
-                                 ts_group=tsg.get(i + 1),
-                                 occp=occp.get(i + 1))
+            x, ch = self._blocks(
+                f"block{i + 1}", x, occ[i + 1], ch, pl_[i], ly[i], train,
+                mom, tiles=conv_tiles.get(i + 1, tiles.get(i + 1)),
+                ts_group=tsg.get(i + 1),
+                occp=conv_occ.get(i + 1, occp.get(i + 1)),
+                occe=occp_e.get(i + 1),
+                block_group=BLOCK_GROUP.get(i + 1))
             skips.append(x)
 
         # --- decoder
@@ -588,9 +650,13 @@ class DenseMinkUNet(nn.Module):
                 if tiled and lvl in tiles:
                     x = pad_lanes(x, _lanes(pl_[4 + d] + skip_chs[lvl]))
             ch = pl_[4 + d] + skip_chs[lvl]
-            x, ch = self._blocks(f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d],
-                                 ly[4 + d], train, mom, tiles=tiles.get(lvl),
-                                 ts_group=tsg.get(lvl), occp=occp.get(lvl))
+            x, ch = self._blocks(
+                f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d], ly[4 + d],
+                train, mom, tiles=conv_tiles.get(lvl, tiles.get(lvl)),
+                ts_group=tsg.get(lvl),
+                occp=conv_occ.get(lvl, occp.get(lvl)),
+                occe=occp_e.get(lvl),
+                block_group=BLOCK_GROUP.get(lvl))
 
         # gather the point rows FIRST, then apply the 1x1 head to just those
         # rows — the head on the full grid would be a (n_cells, ch) matmul

@@ -86,8 +86,12 @@ def _kernel(tiles_ref, *args,
             TX: int, TY: int, TZ: int, cin_p: int, cin_r: int, cout: int,
             k: int, n_steps: int, G: int, NTY: int, NTZ: int, out_dtype,
             prefolded: bool, compact: bool, has_affine: bool, has_occ: bool,
-            has_res: bool, has_res_w: bool, res_cp: int, relu_out: bool):
+            has_res: bool, has_res_w: bool, res_cp: int, relu_out: bool,
+            ZR: int = 1):
     h = k // 2
+    # z-run: each tile-list entry covers ZR z-adjacent tiles with ONE DMA
+    # (entry z-coord in base-TZ units); extents scale, strides/origins don't
+    TZe = ZR * TZ
     it = iter(args)
     x_hbm = next(it)
     w_ref = next(it)
@@ -113,7 +117,7 @@ def _kernel(tiles_ref, *args,
     # window extents: prefolded/k=1 need no y/z halo (folded / pointwise)
     wx = TX + 2 * h
     wy = TY if pointwise else TY + 2 * h
-    wz = TZ if pointwise else TZ + 16
+    wz = TZe if pointwise else TZe + 16
 
     def txyz(step, g):
         i = tiles_ref[step * G + g]
@@ -141,7 +145,7 @@ def _kernel(tiles_ref, *args,
         tx, ty, tz = txyz(step, g)
         return pltpu.make_async_copy(
             res_hbm.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
-                       pl.ds(tz + MZ, TZ), :],
+                       pl.ds(tz + MZ, TZe), :],
             res_tile.at[slot, :, g], sem_res.at[slot, g],
         )
 
@@ -158,7 +162,7 @@ def _kernel(tiles_ref, *args,
         return pltpu.make_async_copy(
             acc.at[slot, :, g],
             out_ref.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
-                       pl.ds(tz + MZ, TZ), :],
+                       pl.ds(tz + MZ, TZe), :],
             sem_out.at[slot, g],
         )
 
@@ -186,13 +190,15 @@ def _kernel(tiles_ref, *args,
         for g in range(G):
             out_dma(slot, t - 2, g).wait()
 
-    cells = TX * TY * TZ
+    cells = TX * TY * TZe
     rows = G * cells
     if k > 1 and not prefolded:
         # (dz, dy) lane fold: k^2 window copies; dx stays a free view below.
         # compact mode (k^2*cin_real <= 128, e.g. the cin=3 stem) packs the
         # blocks at the REAL channel stride so even a 125-tap k=5 fold fits
-        # one 128-lane matmul operand
+        # one 128-lane matmul operand. (Real-stride packing for WIDE
+        # channels was tried and is a net loss: non-128-aligned lane-offset
+        # writes force slow VPU relayouts that outweigh the width savings.)
         z0 = 8 - h  # halo offset within the [tz + MZ - 8, ...) window
         stride = cin_r if compact else cin_p
         used = k * k * stride
@@ -207,7 +213,7 @@ def _kernel(tiles_ref, *args,
             for dy in range(k):
                 blk = (dz * k + dy) * stride
                 zbuf[:, :, :, :, blk:blk + stride] = (
-                    in_tile[slot, :, :, dy:dy + TY, z0 + dz:z0 + dz + TZ,
+                    in_tile[slot, :, :, dy:dy + TY, z0 + dz:z0 + dz + TZe,
                             :stride]
                 )
         src = zbuf
@@ -237,7 +243,7 @@ def _kernel(tiles_ref, *args,
         # instead select each row's packed slab with a tiny one-hot matmul
         # and its lane with an iota compare + lane reduction.
         S = cells // 128
-        TYZ = TY * TZ
+        TYZ = TY * TZe
         ot = occ_tile[slot].reshape(G * S, 128)
         r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         cell = (r // (G * TYZ)) * TYZ + r % TYZ  # tile-local cell id
@@ -271,7 +277,7 @@ def _kernel(tiles_ref, *args,
     if relu_out:
         acc_v = jnp.maximum(acc_v, 0.0)
 
-    acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZ, cout)
+    acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZe, cout)
 
     for g in range(G):
         out_dma(slot, t, g).start()
@@ -353,7 +359,7 @@ def _fold_w(w, k, cin, cin_p, cout_p, dtype, prefolded):
 @functools.partial(
     jax.jit,
     static_argnames=("tile_shape", "kernel_size", "group", "relu_out",
-                     "prefolded", "interpret"),
+                     "prefolded", "zrun", "interpret"),
 )
 def tiled_conv3d(
     x: jnp.ndarray,
@@ -372,6 +378,8 @@ def tiled_conv3d(
     kernel_size: int = 3,
     group: int = 16,
     prefolded: bool = False,
+    zrun: int = 1,
+    out: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Submanifold odd-k Conv3D over occupied tiles, with fused epilogue.
@@ -424,17 +432,24 @@ def tiled_conv3d(
     G = group
     assert n_tiles % G == 0, "pad the tile list to a group multiple"
     n_steps = n_tiles // G
+    TZe = zrun * TZ
     has_affine = scale is not None
     has_occ = occ is not None
     has_res = residual is not None
     has_res_w = res_w is not None
     if has_occ:
-        assert (TX * TY * TZ) % 128 == 0, "occ needs cells % 128 == 0"
+        assert (TX * TY * TZe) % 128 == 0, "occ needs cells % 128 == 0"
+        assert occ.shape[1:] == ((TX * TY * TZe) // 128, 128), occ.shape
 
     cin_p = cp  # DMA lane width (already padded/folded by the caller)
     cout_p = _lanes(cout)
     wf = _fold_w(w, k, cin, cin_p, cout_p, x.dtype, prefolded)
-    out0 = jnp.zeros((Xm, Ym, Zm, cout_p), x.dtype)
+    # chainable output: z-run decomposition runs one pallas_call per run
+    # length, each donating the previous call's output and writing only its
+    # own tiles
+    out0 = out if out is not None \
+        else jnp.zeros((Xm, Ym, Zm, cout_p), x.dtype)
+    assert out0.shape == (Xm, Ym, Zm, cout_p) and out0.dtype == x.dtype
 
     NTY, NTZ = Y // TY, Z // TZ
     tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
@@ -485,20 +500,20 @@ def tiled_conv3d(
     pointwise = (k == 1) or prefolded
     compact = (k > 1 and not prefolded and k * k * cin <= 128)
     wy = TY if pointwise else TY + 2 * h
-    wz = TZ if pointwise else TZ + 16
+    wz = TZe if pointwise else TZe + 16
     scratch = [
         pltpu.VMEM((2, TX + 2 * h, G, wy, wz, cin_p), x.dtype),
     ]
     if k > 1 and not prefolded:
         zb_lanes = _lanes(k * k * cin) if compact else k * k * cin_p
         scratch.append(
-            pltpu.VMEM((TX + 2 * h, G, TY, TZ, zb_lanes), x.dtype))
-    scratch.append(pltpu.VMEM((2, TX, G, TY, TZ, cout_p), x.dtype))
+            pltpu.VMEM((TX + 2 * h, G, TY, TZe, zb_lanes), x.dtype))
+    scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, cout_p), x.dtype))
     if has_occ:
-        scratch.append(pltpu.VMEM((2, G, (TX * TY * TZ) // 128, 128),
+        scratch.append(pltpu.VMEM((2, G, (TX * TY * TZe) // 128, 128),
                                   jnp.float32))
     if has_res:
-        scratch.append(pltpu.VMEM((2, TX, G, TY, TZ, res_cp), x.dtype))
+        scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, res_cp), x.dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_in
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_out
     if has_occ:
@@ -511,7 +526,7 @@ def tiled_conv3d(
         k=k, n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
         prefolded=prefolded, compact=compact, has_affine=has_affine,
         has_occ=has_occ, has_res=has_res, has_res_w=has_res_w,
-        res_cp=res_cp, relu_out=relu_out,
+        res_cp=res_cp, relu_out=relu_out, ZR=zrun,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -546,19 +561,394 @@ def occupied_tiles(coords_or_flat, dims, tile_shape=(4, 4, 8),
 
 
 def pack_occ(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
-             tile_shape=(4, 4, 8)) -> jnp.ndarray:
+             tile_shape=(4, 4, 8), zrun: int = 1) -> jnp.ndarray:
     """Device helper: gather per-tile occupancy as (T, cells/128, 128) f32
     from a MARGINED (Xm, Ym, Zm) occupancy grid (the packing keeps the DMA
-    lane dim a 128 multiple)."""
+    lane dim a 128 multiple). With ``zrun`` = R, each tile entry covers R
+    z-adjacent tiles (cells = TX*TY*R*TZ, z contiguous)."""
     TX, TY, TZ = tile_shape
     o = occ_grid[MX:occ_grid.shape[0] - MX, MY:occ_grid.shape[1] - MY,
                  MZ:occ_grid.shape[2] - MZ]
     X, Y, Z = o.shape
     o = o.reshape(X // TX, TX, Y // TY, TY, Z // TZ, TZ)
     o = jnp.transpose(o, (0, 2, 4, 1, 3, 5))  # (ntx, nty, ntz, TX, TY, TZ)
-    g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, TX, TY, TZ)
-    return g.reshape(tiles.shape[0], (TX * TY * TZ) // 128,
+    if zrun == 1:
+        g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, TX, TY, TZ)
+    else:
+        parts = [o[tiles[:, 0], tiles[:, 1], tiles[:, 2] + r]
+                 for r in range(zrun)]
+        g = jnp.stack(parts, axis=3)          # (T, TX, TY, R, TZ)
+    return g.reshape(tiles.shape[0], (TX * TY * zrun * TZ) // 128,
                      128).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fused residual-block kernel: a whole BasicBlock — conv1 -> mask/BN/relu ->
+# conv2 -> mask/BN -> (+ residual | + fused 1x1-downsample(residual)) ->
+# relu — in ONE pallas_call. conv1 is computed over a one-cell-expanded
+# region per tile so conv2's taps read conv1 outputs straight from VMEM;
+# the residual is the tile's own input window (already resident). Per tile
+# this costs ONE input DMA and ONE output DMA where two tiled_conv3d calls
+# pay five (2 in + 1 res + 2 out) — the per-tile DMA issue rate is the
+# binding constraint of the backbone (see module docstring), so the block
+# kernel is ~2x on DMA-bound levels at the price of ~(ex*ey*ez)/(TX*TY*TZ)
+# conv1 overcompute on the idle MXU.
+# ---------------------------------------------------------------------------
+
+
+def _block_kernel(tiles_ref, *args,
+                  TX, TY, TZ, cin_r, cin_p, mid_r, mid_p, cout_r, cout_p,
+                  n_steps, G, NTY, NTZ, out_dtype, has_res_w, Se,
+                  ex, ey, ez):
+    it = iter(args)
+    x_hbm = next(it)
+    w1_ref = next(it)        # (3, L1, mid_p)
+    w2_ref = next(it)        # (3, L2, cout_p)
+    ab1_ref = next(it)       # (2, mid_p)
+    ab2_ref = next(it)       # (2, cout_p)
+    occe_hbm = next(it)      # (T, Se, 128) expanded-region occupancy
+    rw_ref = next(it) if has_res_w else None
+    rab_ref = next(it) if has_res_w else None
+    _zeros = next(it)
+    out_ref = next(it)
+    in_tile = next(it)       # (2, wx, G, wy, wz, cin_p)
+    zbuf1 = next(it)         # (wx, G, ey, ez, L1)
+    mid_s = next(it)         # (ex, G, ey, ez, mid_p)
+    zbuf2 = next(it)         # (ex, G, TY, TZ, L2)
+    acc = next(it)           # (2, TX, G, TY, TZ, cout_p)
+    occe_tile = next(it)     # (2, G, Se, 128)
+    sem_in = next(it)
+    sem_out = next(it)
+    sem_occ = next(it)
+
+    t = pl.program_id(0)
+    TZe = TZ  # no z-run support in the block kernel
+    wx = TX + 4
+    wy = TY + 4
+    wz = TZ + 16
+
+    def txyz(step, g):
+        i = tiles_ref[step * G + g]
+        return ((i // (NTY * NTZ)) * TX, ((i // NTZ) % NTY) * TY,
+                (i % NTZ) * TZ)
+
+    def in_dma(slot, step, g):
+        tx, ty, tz = txyz(step, g)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tx + MX - 2, wx), pl.ds(ty + MY - 2, wy),
+                     pl.ds(tz + MZ - 8, wz), :],
+            in_tile.at[slot, :, g], sem_in.at[slot, g],
+        )
+
+    def occ_dma(slot, step):
+        return pltpu.make_async_copy(
+            occe_hbm.at[pl.ds(step * G, G)], occe_tile.at[slot],
+            sem_occ.at[slot],
+        )
+
+    def start_in(slot, step):
+        for g in range(G):
+            in_dma(slot, step, g).start()
+        occ_dma(slot, step).start()
+
+    def out_dma(slot, step, g):
+        tx, ty, tz = txyz(step, g)
+        return pltpu.make_async_copy(
+            acc.at[slot, :, g],
+            out_ref.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
+                       pl.ds(tz + MZ, TZe), :],
+            sem_out.at[slot, g],
+        )
+
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_in(slot, t)
+
+    @pl.when(t + 1 < n_steps)
+    def _():
+        start_in(nxt, t + 1)
+
+    for g in range(G):
+        in_dma(slot, t, g).wait()
+    occ_dma(slot, t).wait()
+
+    @pl.when(t >= 2)
+    def _():
+        for g in range(G):
+            out_dma(slot, t - 2, g).wait()
+
+    # --- conv1 over the expanded (ex, ey, ez) region
+    # (fold stride rule matches _kernel: real stride only when compact —
+    # non-128-aligned lane-offset writes are slow VPU relayouts)
+    s1 = cin_r if 9 * cin_r <= 128 else cin_p
+    L1 = zbuf1.shape[-1]
+    used1 = 9 * s1
+    if used1 < L1:
+        @pl.when(t == 0)
+        def _():
+            zbuf1[:, :, :, :, used1:] = jnp.zeros(
+                zbuf1.shape[:-1] + (L1 - used1,), zbuf1.dtype)
+    for dz in range(3):
+        for dy in range(3):
+            blk = (dz * 3 + dy) * s1
+            zbuf1[:, :, :, :, blk:blk + s1] = (
+                in_tile[slot, :, :, dy:dy + ey, dz + 6:dz + 6 + ez, :s1]
+            )
+    rows1 = ex * G * ey * ez
+    acc1 = None
+    for dx in range(3):
+        a = zbuf1[dx:dx + ex].reshape(rows1, L1)
+        part = jax.lax.dot_general(
+            a, w1_ref[dx], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc1 = part if acc1 is None else acc1 + part
+    acc1 = acc1 * ab1_ref[0:1, :] + ab1_ref[1:2, :]
+
+    # expanded-region occupancy mask (same one-hot expansion as _kernel,
+    # over the padded Se*128 cell pack in (x, y, z) order)
+    eyz = ey * ez
+    ot = occe_tile[slot].reshape(G * Se, 128)
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows1, 1), 0)
+    cell = (r // (G * eyz)) * eyz + r % eyz
+    g_idx = (r // eyz) % G
+    slab = g_idx * Se + cell // 128
+    slab_oh = (jax.lax.broadcasted_iota(jnp.int32, (rows1, G * Se), 1)
+               == slab).astype(jnp.float32)
+    occ_rows = jax.lax.dot_general(
+        slab_oh, ot, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (rows1, 128), 1)
+           == cell % 128)
+    occ1 = jnp.sum(jnp.where(sel, occ_rows, 0.0), axis=1, keepdims=True)
+    acc1 = jnp.maximum(acc1 * occ1, 0.0)
+    mid_s[:] = acc1.astype(mid_s.dtype).reshape(ex, G, ey, ez, mid_p)
+
+    # --- conv2 over the core, taps read from mid_s
+    s2 = mid_r if 9 * mid_r <= 128 else mid_p
+    L2 = zbuf2.shape[-1]
+    used2 = 9 * s2
+    if used2 < L2:
+        @pl.when(t == 0)
+        def _():
+            zbuf2[:, :, :, :, used2:] = jnp.zeros(
+                zbuf2.shape[:-1] + (L2 - used2,), zbuf2.dtype)
+    for dz in range(3):
+        for dy in range(3):
+            blk = (dz * 3 + dy) * s2
+            zbuf2[:, :, :, :, blk:blk + s2] = (
+                mid_s[:, :, dy:dy + TY, dz:dz + TZ, :s2]
+            )
+    rows2 = TX * G * TY * TZ
+    acc2 = None
+    for dx in range(3):
+        a = zbuf2[dx:dx + TX].reshape(rows2, L2)
+        part = jax.lax.dot_general(
+            a, w2_ref[dx], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc2 = part if acc2 is None else acc2 + part
+    acc2 = acc2 * ab2_ref[0:1, :] + ab2_ref[1:2, :]
+
+    # core occupancy = the center cells of the expanded pack: core cell
+    # (i, j, l) is expanded cell (i+1, j+1, l+1)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (rows2, 1), 0)
+    i_x = r2 // (G * TY * TZ)
+    g2 = (r2 // (TY * TZ)) % G
+    j_y = (r2 // TZ) % TY
+    l_z = r2 % TZ
+    cell2 = ((i_x + 1) * ey + (j_y + 1)) * ez + (l_z + 1)
+    slab2 = g2 * Se + cell2 // 128
+    slab2_oh = (jax.lax.broadcasted_iota(jnp.int32, (rows2, G * Se), 1)
+                == slab2).astype(jnp.float32)
+    occ_rows2 = jax.lax.dot_general(
+        slab2_oh, ot, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sel2 = (jax.lax.broadcasted_iota(jnp.int32, (rows2, 128), 1)
+            == cell2 % 128)
+    occ2 = jnp.sum(jnp.where(sel2, occ_rows2, 0.0), axis=1, keepdims=True)
+    acc2 = acc2 * occ2
+
+    # --- residual from the resident input window's core
+    rrows = in_tile[slot, 2:2 + TX, :, 2:2 + TY, 8:8 + TZ, :].reshape(
+        rows2, cin_p)
+    if has_res_w:
+        rv = jax.lax.dot_general(
+            rrows, rw_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rv = (rv * rab_ref[0:1, :] + rab_ref[1:2, :]) * occ2
+    else:
+        rv = rrows[:, :cout_p].astype(jnp.float32)
+    acc2 = jnp.maximum(acc2 + rv, 0.0)
+
+    acc[slot] = acc2.astype(out_dtype).reshape(TX, G, TY, TZ, cout_p)
+
+    for g in range(G):
+        out_dma(slot, t, g).start()
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for g in range(G):
+            out_dma(slot, t, g).wait()
+            if n_steps >= 2:
+                out_dma(nxt, t - 1, g).wait()
+
+
+def pack_occ_expanded(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
+                      tile_shape=(4, 4, 8)) -> jnp.ndarray:
+    """Per-tile occupancy over the ONE-CELL-EXPANDED region
+    (TX + 2, TY + 2, TZ + 2), gathered from a MARGINED (Xm, Ym, Zm)
+    occupancy grid and padded to (T, Se, 128) for the block kernel."""
+    TX, TY, TZ = tile_shape
+    ex, ey, ez = TX + 2, TY + 2, TZ + 2
+    xi = tiles[:, 0:1] * TX + MX - 1 + jnp.arange(ex)[None]   # (T, ex)
+    yi = tiles[:, 1:2] * TY + MY - 1 + jnp.arange(ey)[None]
+    zi = tiles[:, 2:3] * TZ + MZ - 1 + jnp.arange(ez)[None]
+    g = occ_grid[xi[:, :, None, None], yi[:, None, :, None],
+                 zi[:, None, None, :]]                        # (T, ex, ey, ez)
+    cells_e = ex * ey * ez
+    Se = -(-cells_e // 128)
+    flat = g.reshape(tiles.shape[0], cells_e)
+    flat = jnp.pad(flat, ((0, 0), (0, Se * 128 - cells_e)))
+    return flat.reshape(tiles.shape[0], Se, 128).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_shape", "group", "interpret"),
+)
+def tiled_block3d(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    tiles: jnp.ndarray,
+    *,
+    scale1: jnp.ndarray,
+    bias1: jnp.ndarray,
+    scale2: jnp.ndarray,
+    bias2: jnp.ndarray,
+    occ_e: jnp.ndarray,
+    res_w: Optional[jnp.ndarray] = None,
+    res_scale: Optional[jnp.ndarray] = None,
+    res_bias: Optional[jnp.ndarray] = None,
+    tile_shape: Tuple[int, int, int] = (4, 4, 8),
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole BasicBlock over occupied tiles (inference path).
+
+    x: MARGINED input grid (128-mult lanes). w1: (27, Cin, Mid),
+    w2: (27, Mid, Cout), x-fastest offsets. scale/bias pairs: folded
+    inference BN affines for norm1/norm2. occ_e: pack_occ_expanded of the
+    level's occupancy over the same tiles. res_w (+ res_scale/res_bias):
+    the 1x1 downsample branch when Cin != Cout; otherwise the identity
+    residual is taken from the input window. Returns the margined
+    (.., Cout_p) output grid, exact vs the two-conv XLA path at occupied
+    cells and zero elsewhere.
+    """
+    Xm, Ym, Zm, cin_p = x.shape
+    X, Y, Z = Xm - 2 * MX, Ym - 2 * MY, Zm - 2 * MZ
+    cin, mid = w1.shape[1], w1.shape[2]
+    mid2, cout = w2.shape[1], w2.shape[2]
+    assert mid2 == mid and w1.shape[0] == 27 and w2.shape[0] == 27
+    assert cin_p == _lanes(cin), (cin_p, cin)
+    TX, TY, TZ = tile_shape
+    assert X % TX == 0 and Y % TY == 0 and Z % TZ == 0
+    assert TZ % 8 == 0
+    assert (res_w is None) == (res_scale is None) == (res_bias is None)
+    if res_w is None:
+        assert cin == cout, "identity residual needs cin == cout"
+    ex, ey, ez = TX + 2, TY + 2, TZ + 2
+    cells_e = ex * ey * ez
+    Se = -(-cells_e // 128)
+    n_tiles = tiles.shape[0]
+    G = group
+    assert n_tiles % G == 0, "pad the tile list to a group multiple"
+    n_steps = n_tiles // G
+    assert occ_e.shape == (n_tiles, Se, 128), (occ_e.shape, (n_tiles, Se, 128))
+
+    mid_p = _lanes(mid)
+    cout_p = _lanes(cout)
+    L1 = _lanes(9 * cin) if 9 * cin <= 128 else 9 * cin_p
+    L2 = _lanes(9 * mid) if 9 * mid <= 128 else 9 * mid_p
+    w1f = _fold_w(w1, 3, cin, cin_p, mid_p, x.dtype, False)
+    w2f = _fold_w(w2, 3, mid, mid_p, cout_p, x.dtype, False)
+
+    def _ab(s, b, cp, c):
+        return jnp.stack([
+            jnp.pad(s.astype(jnp.float32), (0, cp - c)),
+            jnp.pad(b.astype(jnp.float32), (0, cp - c)),
+        ])
+
+    ab1 = _ab(scale1, bias1, mid_p, mid)
+    ab2 = _ab(scale2, bias2, cout_p, cout)
+    out0 = jnp.zeros((Xm, Ym, Zm, cout_p), x.dtype)
+
+    NTY, NTZ = Y // TY, Z // TZ
+    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
+                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+
+    operands = [tiles_flat, x, w1f, w2f, ab1, ab2, occ_e.astype(jnp.float32)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),   # x
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ab1
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ab2
+        pl.BlockSpec(memory_space=pltpu.HBM),   # occ_e
+    ]
+    has_res_w = res_w is not None
+    if has_res_w:
+        rw = jnp.pad(res_w, ((0, cin_p - cin), (0, cout_p - cout)))
+        operands.append(rw.astype(x.dtype)[None])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(_ab(res_scale, res_bias, cout_p, cout))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    operands.append(out0)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    zeros_index = len(operands) - 1
+
+    wx, wy, wz = TX + 4, TY + 4, TZ + 16
+    scratch = [
+        pltpu.VMEM((2, wx, G, wy, wz, cin_p), x.dtype),       # in_tile
+        pltpu.VMEM((wx, G, ey, ez, L1), x.dtype),              # zbuf1
+        pltpu.VMEM((ex, G, ey, ez, mid_p), x.dtype),           # mid
+        pltpu.VMEM((ex, G, TY, TZ, L2), x.dtype),              # zbuf2
+        pltpu.VMEM((2, TX, G, TY, TZ, cout_p), x.dtype),       # acc
+        pltpu.VMEM((2, G, Se, 128), jnp.float32),              # occ_e tiles
+        pltpu.SemaphoreType.DMA((2, G)),                        # sem_in
+        pltpu.SemaphoreType.DMA((2, G)),                        # sem_out
+        pltpu.SemaphoreType.DMA((2,)),                          # sem_occ
+    ]
+
+    kernel = functools.partial(
+        _block_kernel, TX=TX, TY=TY, TZ=TZ, cin_r=cin, cin_p=cin_p,
+        mid_r=mid, mid_p=mid_p, cout_r=cout, cout_p=cout_p,
+        n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
+        has_res_w=has_res_w, Se=Se, ex=ex, ey=ey, ez=ez,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Xm, Ym, Zm, cout_p), x.dtype),
+        input_output_aliases={zeros_index: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -576,6 +966,7 @@ def pack_occ(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
 def _down2_kernel(tiles_ref, *args,
                   TX, TY, TZ, cin_p, cout, n_steps, G, NTY, NTZ, out_dtype,
                   has_affine, has_occ, relu_out):
+    TZe = TZ  # no z-run support in the down kernel
     it = iter(args)
     x_hbm = next(it)        # margined FINE grid
     w_ref = next(it)        # (8*cin_p, cout)
@@ -626,7 +1017,7 @@ def _down2_kernel(tiles_ref, *args,
         return pltpu.make_async_copy(
             acc.at[slot, :, g],
             out_ref.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
-                       pl.ds(tz + MZ, TZ), :],
+                       pl.ds(tz + MZ, TZe), :],
             sem_out.at[slot, g],
         )
 
@@ -651,7 +1042,7 @@ def _down2_kernel(tiles_ref, *args,
         for g in range(G):
             out_dma(slot, t - 2, g).wait()
 
-    cells = TX * TY * TZ
+    cells = TX * TY * TZe
     rows = G * cells
     # stride 2 == kernel 2: taps partition the window — fold all 8 into
     # lanes, one matmul total, no halo. Parity selection must avoid strided
@@ -676,7 +1067,7 @@ def _down2_kernel(tiles_ref, *args,
         acc_v = acc_v * ab_ref[0:1, :] + ab_ref[1:2, :]
     if has_occ:
         S = cells // 128
-        TYZ = TY * TZ
+        TYZ = TY * TZe
         ot = occ_tile[slot].reshape(G * S, 128)
         r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         cell = (r // (G * TYZ)) * TYZ + r % TYZ
@@ -695,7 +1086,7 @@ def _down2_kernel(tiles_ref, *args,
     if relu_out:
         acc_v = jnp.maximum(acc_v, 0.0)
 
-    acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZ, cout)
+    acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZe, cout)
 
     for g in range(G):
         out_dma(slot, t, g).start()

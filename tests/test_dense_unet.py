@@ -167,3 +167,14 @@ def test_dense_tiled_matches_xla(rng):
         variables, feats_raw, flat, valid, dims, False, tiles=tiles
     ))
     np.testing.assert_allclose(out_tiled, out_xla, atol=2e-3, rtol=1e-3)
+
+    # with the z-run decomposition driving the k=3 convs
+    from canonicalvoting_tpu.data.dense_prep import level_tile_runs
+
+    runs = level_tile_runs(coords, base, dims)
+    assert runs, "scene must produce run lists"
+    out_runs = np.asarray(m_tiled.apply(
+        variables, feats_raw, flat, valid, dims, False, tiles=tiles,
+        tile_runs=runs,
+    ))
+    np.testing.assert_allclose(out_runs, out_xla, atol=2e-3, rtol=1e-3)

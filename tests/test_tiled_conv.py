@@ -224,3 +224,77 @@ def test_tiled_up2_matches_xla(rng):
     for t in np.asarray(tiles):
         sl = _tile_slices(t, ts)
         np.testing.assert_allclose(got[sl], ref[sl], atol=1e-4)
+
+
+def test_tiled_conv_zrun_matches(rng):
+    """z-run chunks (zrun=R) + chained donated outputs == per-tile calls."""
+    X, Y, Z, cin, cout = 16, 16, 64, 8, 8
+    k, ts, G = 3, (4, 4, 8), 2
+    x = np.zeros((X, Y, Z, cin), np.float32)
+    # occupy long z-strips to create real runs + some isolated tiles
+    occ_cells = []
+    for (ox, oy) in [(2, 3), (9, 9)]:
+        for z in range(8, 48):
+            occ_cells.append((ox, oy, z))
+    occ_cells += [tuple(c) for c in rng.randint(0, [X, Y, Z], (60, 3))]
+    occ_cells = np.unique(np.array(occ_cells), axis=0)
+    x[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = rng.randn(
+        len(occ_cells), cin).astype(np.float32)
+    w = rng.randn(k ** 3, cin, cout).astype(np.float32) * 0.2
+    xm = _margined(x)
+
+    # reference: single flat tile list
+    tiles = occupied_tiles(occ_cells, (X, Y, Z), ts, pad_multiple=G)
+    ref = tiled_conv3d(xm, jnp.asarray(w), jnp.asarray(tiles),
+                       tile_shape=ts, kernel_size=k, group=G,
+                       interpret=True)
+
+    # z-run decomposition via the host helper
+    from canonicalvoting_tpu.data.dense_prep import level_tile_runs
+
+    runs = level_tile_runs(
+        occ_cells, np.zeros(3, np.int64), (X, Y, Z),
+        run_plan={0: ((4, 1), (2, 1), (1, 2))},
+        tile_plan={0: (ts, G)}, pad_multiple=2,
+    )[0]
+    assert any(R > 1 for (R, _g, _t) in runs), "scene must produce runs"
+    out = None
+    for (R, Gr, t) in runs:
+        out = tiled_conv3d(xm, jnp.asarray(w), jnp.asarray(t),
+                           tile_shape=ts, kernel_size=k, group=Gr, zrun=R,
+                           out=out, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_tiled_conv_zrun_epilogue_occ(rng):
+    """zrun with the fused affine + occupancy epilogue matches zrun=1."""
+    from canonicalvoting_tpu.ops.pallas.tiled_conv import pack_occ
+
+    X, Y, Z, cin, cout = 8, 8, 32, 8, 8
+    k, ts = 3, (4, 4, 8)
+    x = rng.randn(X, Y, Z, cin).astype(np.float32)
+    occ = (rng.rand(X, Y, Z) < 0.5).astype(np.float32)
+    x *= occ[..., None]
+    w = rng.randn(k ** 3, cin, cout).astype(np.float32) * 0.2
+    a = rng.uniform(0.5, 1.5, (cout,)).astype(np.float32)
+    b = rng.randn(cout).astype(np.float32) * 0.1
+    xm = _margined(x)
+    occ_m = jnp.pad(jnp.asarray(occ), ((MX, MX), (MY, MY), (MZ, MZ)))
+
+    all_tiles = np.array([[i, j, l] for i in range(2) for j in range(2)
+                          for l in range(4)], np.int32)
+    o1 = pack_occ(occ_m, jnp.asarray(all_tiles), ts)
+    ref = tiled_conv3d(xm, jnp.asarray(w), jnp.asarray(all_tiles),
+                       scale=jnp.asarray(a), bias=jnp.asarray(b), occ=o1,
+                       relu_out=True, tile_shape=ts, kernel_size=k,
+                       group=4, interpret=True)
+
+    # same coverage as 4 z-run chunks of R=4
+    run_tiles = np.array([[i, j, 0] for i in range(2) for j in range(2)],
+                         np.int32)
+    o4 = pack_occ(occ_m, jnp.asarray(run_tiles), ts, zrun=4)
+    got = tiled_conv3d(xm, jnp.asarray(w), jnp.asarray(run_tiles),
+                       scale=jnp.asarray(a), bias=jnp.asarray(b), occ=o4,
+                       relu_out=True, tile_shape=ts, kernel_size=k,
+                       group=2, zrun=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
