@@ -41,7 +41,26 @@ TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
 # tiles win. Keyed by STEM_KEY (an int: the tiles dict crosses jax pytree
 # boundaries, whose dict-key sort rejects mixed int/str keys).
 STEM_KEY = -1
-STEM_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((8, 8, 32), 2)
+# (8,8,32)x2 -> (4,4,8)x16: 34 -> 22 ms (benchmarks/bench_stem.py) — the
+# k=5 stem is fold-bound, so fewer covered cells beat fewer DMAs here too
+STEM_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((4, 4, 8), 16)
+# the transposed-up kernel into L0 needs tile z % 16 (coarse-input window
+# alignment), which the fine stem tiles no longer provide — it gets its
+# own L0 list
+UP0_KEY = -2
+UP0_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((8, 8, 32), 2)
+
+# finer tile plans for the k=3 block convs, keyed CONV_KEY_OFF + level in
+# the tile dict. The down/up level-transition kernels keep TILE_PLAN's
+# coarser lists (the up kernel needs tile z % 16); the conv kernels track
+# the occupied surface tighter — sub-128-cell tiles are legal through the
+# group-major occupancy pack (pack_occ_group). Sweep:
+# benchmarks/bench_diag2.py / bench_diag3.py.
+CONV_KEY_OFF = 10
+CONV_TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
+    0: ((2, 2, 8), 64),
+    1: ((4, 4, 8), 16),
+}
 
 # tiles-per-step for the fused residual-block kernel (tiled_block3d): its
 # VMEM footprint is ~2.5x a single conv's (two zbufs + the expanded mid
@@ -195,6 +214,12 @@ def level_tiles(coords: np.ndarray, base: np.ndarray,
     entries = [(lvl, lvl, ts_g) for lvl, ts_g in tile_plan.items()]
     if 0 in tile_plan:
         entries.append((STEM_KEY, 0, STEM_TILE_PLAN))
+        entries.append((UP0_KEY, 0, UP0_TILE_PLAN))
+    if tile_plan is TILE_PLAN:
+        entries.extend(
+            (CONV_KEY_OFF + lvl, lvl, ts_g)
+            for lvl, ts_g in CONV_TILE_PLAN.items() if lvl in tile_plan
+        )
     for key, lvl, (tile_shape, group) in entries:
         ts = np.asarray(tile_shape)
         d = tuple(x >> lvl for x in dims)

@@ -96,7 +96,6 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
         from canonicalvoting_tpu.data.dense_prep import (
             dense_flat_ids,
             dense_grid_geometry,
-            level_tile_runs,
             level_tiles,
         )
 
@@ -107,16 +106,12 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
         run_spec = ()
         run_tiles = None
         if conv_impl != "xla":
+            # level_tiles now carries dedicated fine conv lists
+            # (CONV_TILE_PLAN keys) — the z-run decomposition measured a
+            # wash against them (benchmarks/bench_diag2.py) and is no
+            # longer generated here; assemble_runs stays for callers that
+            # thread explicit runs
             tiles = level_tiles(coords, base, dense_dims)
-            # z-run decomposition for the k=3 convs: (R, G) per chunk list
-            # is STATIC (jit key); chunk arrays ride as operands
-            runs = level_tile_runs(coords, base, dense_dims)
-            run_spec = tuple(sorted(
-                (k, tuple((R, G, len(t)) for (R, G, t) in lst))
-                for k, lst in runs.items()
-            ))
-            run_tiles = {k: tuple(t for (_R, _G, t) in lst)
-                         for k, lst in runs.items()}
         # pre-stage on device: per-call numpy->device uploads through
         # the transfer path cost ~40-100 ms each (async here, so they
         # overlap host prep of the next scene)

@@ -466,7 +466,8 @@ class DenseMinkUNet(nn.Module):
                  train: bool = False, bn_momentum=0.1, tiles=None,
                  n_scenes: int = 1, tile_runs=None):
         from canonicalvoting_tpu.data.dense_prep import (
-            STEM_KEY, STEM_TILE_PLAN, TILE_PLAN)
+            CONV_KEY_OFF, CONV_TILE_PLAN, STEM_KEY, STEM_TILE_PLAN,
+            TILE_PLAN, UP0_KEY, UP0_TILE_PLAN)
 
         tiles = tiles or {}
         dx, dy, dz = grid_dims
@@ -480,8 +481,16 @@ class DenseMinkUNet(nn.Module):
         tiled = bool(tiles) and self.conv_impl != "xla" and not train
         assert not (tiled and n_scenes != 1), \
             "the tiled path is single-scene; batched grids use the XLA path"
-        tsg = {key: (STEM_TILE_PLAN if key == STEM_KEY else TILE_PLAN[key])
-               for key in tiles}
+        def _plan(key):
+            if key == STEM_KEY:
+                return STEM_TILE_PLAN
+            if key == UP0_KEY:
+                return UP0_TILE_PLAN
+            if key >= CONV_KEY_OFF:
+                return CONV_TILE_PLAN[key - CONV_KEY_OFF]
+            return TILE_PLAN[key]
+
+        tsg = {key: _plan(key) for key in tiles}
 
         # with n_scenes > 1, flat_idx must already carry the per-scene
         # offset s * n_cells into the stacked (B * n_cells) id space
@@ -528,14 +537,21 @@ class DenseMinkUNet(nn.Module):
         conv_occ = {}
         if tiled:
             from canonicalvoting_tpu.ops.pallas.tiled_conv import (
-                pack_occ, pack_occ_parity)
+                pack_occ, pack_occ_group, pack_occ_parity)
 
             for key, t in tiles.items():
-                lvl = max(key, 0)  # STEM_KEY (-1) packs L0 occupancy
-                occp[key] = pack_occ(occ[lvl][0], t, tsg[key][0])
-                if tsg[key][0][2] % 16 == 0:  # usable by tiled_up2
-                    occp_up[key] = pack_occ_parity(occ[lvl][0], t,
-                                                   tsg[key][0])
+                # STEM_KEY/UP0_KEY (-1/-2) pack L0 occupancy; conv keys
+                # (CONV_KEY_OFF + lvl) use the group-major pack, which
+                # legalizes their sub-128-cell tiles
+                lvl = key - CONV_KEY_OFF if key >= CONV_KEY_OFF \
+                    else max(key, 0)
+                ts, g = tsg[key]
+                if key >= CONV_KEY_OFF:
+                    occp[key] = pack_occ_group(occ[lvl][0], t, ts, group=g)
+                    continue
+                occp[key] = pack_occ(occ[lvl][0], t, ts)
+                if ts[2] % 16 == 0:  # usable by tiled_up2
+                    occp_up[key] = pack_occ_parity(occ[lvl][0], t, ts)
                 # occp_e (fused block kernel) intentionally not packed:
                 # the block kernel measured slower than the two-conv path
                 # (benchmarks/bench_block.py) and is disabled
@@ -548,6 +564,17 @@ class DenseMinkUNet(nn.Module):
                     pack_occ(occ[lvl][0], t, tsg[key][0], zrun=R)
                     for (R, _G, t) in lst
                 ]
+
+        def conv_sel(lvl):
+            """(tiles, (ts, group), occ) for a level's k=3 block convs:
+            the fine CONV_TILE_PLAN list when present, else z-run lists,
+            else the level-transition list."""
+            ck = CONV_KEY_OFF + lvl
+            if ck in tiles:
+                return tiles[ck], tsg[ck], occp[ck]
+            if lvl in conv_tiles:
+                return conv_tiles[lvl], tsg.get(lvl), conv_occ[lvl]
+            return tiles.get(lvl), tsg.get(lvl), occp.get(lvl)
 
         # --- stem
         stem = DenseConv(self.in_channels, self.init_dim, self.stem_kernel,
@@ -601,11 +628,10 @@ class DenseMinkUNet(nn.Module):
                 x = nn.relu(x)
                 if tiled and (i + 1) in tiles:
                     x = pad_lanes(x, _lanes(ch))
+            ct, cts, cocc = conv_sel(i + 1)
             x, ch = self._blocks(
                 f"block{i + 1}", x, occ[i + 1], ch, pl_[i], ly[i], train,
-                mom, tiles=conv_tiles.get(i + 1, tiles.get(i + 1)),
-                ts_group=tsg.get(i + 1),
-                occp=conv_occ.get(i + 1, occp.get(i + 1)),
+                mom, tiles=ct, ts_group=cts, occp=cocc,
                 occe=occp_e.get(i + 1),
                 block_group=BLOCK_GROUP.get(i + 1))
             skips.append(x)
@@ -621,10 +647,11 @@ class DenseMinkUNet(nn.Module):
             bn = DenseBatchNorm(pl_[4 + d], axis_name=self.bn_axis,
                                 name=f"bntr{4 + d}")
             skip = skips[lvl - 1] if lvl >= 1 else out_p1
-            # up into L0 rides the stem's coarser (8, 8, 32) tile list; the
-            # finer levels reuse their block tile lists (z sized for the
-            # up kernel's alignment constraint)
-            up_key = STEM_KEY if lvl == 0 else lvl
+            # up into L0 rides its own coarser (8, 8, 32) list (UP0_KEY —
+            # the up kernel needs tile z % 16, which the fine stem/conv
+            # lists no longer provide); other levels reuse the transition
+            # lists
+            up_key = UP0_KEY if lvl == 0 else lvl
             if tiled and up_key in occp_up:
                 from canonicalvoting_tpu.ops.pallas.tiled_conv import (
                     tiled_up2)
@@ -650,11 +677,10 @@ class DenseMinkUNet(nn.Module):
                 if tiled and lvl in tiles:
                     x = pad_lanes(x, _lanes(pl_[4 + d] + skip_chs[lvl]))
             ch = pl_[4 + d] + skip_chs[lvl]
+            ct, cts, cocc = conv_sel(lvl)
             x, ch = self._blocks(
                 f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d], ly[4 + d],
-                train, mom, tiles=conv_tiles.get(lvl, tiles.get(lvl)),
-                ts_group=tsg.get(lvl),
-                occp=conv_occ.get(lvl, occp.get(lvl)),
+                train, mom, tiles=ct, ts_group=cts, occp=cocc,
                 occe=occp_e.get(lvl),
                 block_group=BLOCK_GROUP.get(lvl))
 

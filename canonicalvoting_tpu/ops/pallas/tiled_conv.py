@@ -87,7 +87,7 @@ def _kernel(tiles_ref, *args,
             k: int, n_steps: int, G: int, NTY: int, NTZ: int, out_dtype,
             prefolded: bool, compact: bool, has_affine: bool, has_occ: bool,
             has_res: bool, has_res_w: bool, res_cp: int, relu_out: bool,
-            ZR: int = 1):
+            ZR: int = 1, occ_group: bool = False):
     h = k // 2
     # z-run: each tile-list entry covers ZR z-adjacent tiles with ONE DMA
     # (entry z-coord in base-TZ units); extents scale, strides/origins don't
@@ -135,7 +135,12 @@ def _kernel(tiles_ref, *args,
         )
 
     def occ_dma(slot, step):
-        # tile rows are consecutive: one DMA covers the whole group
+        # one DMA covers the whole group: group-major pack stores one row
+        # block per STEP; the legacy per-tile pack stores G consecutive rows
+        if occ_group:
+            return pltpu.make_async_copy(
+                occ_hbm.at[step], occ_tile.at[slot], sem_occ.at[slot],
+            )
         return pltpu.make_async_copy(
             occ_hbm.at[pl.ds(step * G, G)], occ_tile.at[slot],
             sem_occ.at[slot],
@@ -237,19 +242,26 @@ def _kernel(tiles_ref, *args,
     if has_affine:
         acc_v = acc_v * ab_ref[0:1, :] + ab_ref[1:2, :]
     if has_occ:
-        # expand (G, S, 128) packed occupancy (tile-local (x, y, z) cell
-        # order) to a (rows, 1) column in row order (x, g, y, z). A direct
-        # reshape is a lane->sublane redistribution Mosaic can't lower;
-        # instead select each row's packed slab with a tiny one-hot matmul
-        # and its lane with an iota compare + lane reduction.
-        S = cells // 128
-        TYZ = TY * TZe
-        ot = occ_tile[slot].reshape(G * S, 128)
+        # expand packed occupancy to a (rows, 1) column in row order
+        # (x, g, y, z). A direct reshape is a lane->sublane redistribution
+        # Mosaic can't lower; instead select each row's packed slab with a
+        # tiny one-hot matmul and its lane with an iota compare + lane
+        # reduction. Group-major packs (pack_occ_group) store rows already
+        # in (x, g, y, z) order, so the slab is just r // 128 — and tiles
+        # smaller than 128 cells become legal (only G*cells % 128 needed).
         r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        cell = (r // (G * TYZ)) * TYZ + r % TYZ  # tile-local cell id
-        g_idx = (r // TYZ) % G
-        slab = g_idx * S + cell // 128
-        slab_oh = (jax.lax.broadcasted_iota(jnp.int32, (rows, G * S), 1)
+        if occ_group:
+            ot = occ_tile[slot].reshape(rows // 128, 128)
+            slab = r // 128
+            cell = r  # lane selector below uses cell % 128
+        else:
+            S = cells // 128
+            TYZ = TY * TZe
+            ot = occ_tile[slot].reshape(G * S, 128)
+            cell = (r // (G * TYZ)) * TYZ + r % TYZ  # tile-local cell id
+            g_idx = (r // TYZ) % G
+            slab = g_idx * S + cell // 128
+        slab_oh = (jax.lax.broadcasted_iota(jnp.int32, (rows, ot.shape[0]), 1)
                    == slab).astype(jnp.float32)
         occ_rows = jax.lax.dot_general(
             slab_oh, ot, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -437,9 +449,21 @@ def tiled_conv3d(
     has_occ = occ is not None
     has_res = residual is not None
     has_res_w = res_w is not None
+    cells_t = TX * TY * TZe
+    occ_group = False
     if has_occ:
-        assert (TX * TY * TZe) % 128 == 0, "occ needs cells % 128 == 0"
-        assert occ.shape[1:] == ((TX * TY * TZe) // 128, 128), occ.shape
+        # two pack layouts, told apart by dim 0: per-tile (n_tiles, S, 128)
+        # needs cells % 128 == 0; group-major (n_steps, G*cells/128, 128)
+        # (pack_occ_group) only needs G*cells % 128 == 0, legalizing
+        # sub-128-cell tiles like (2, 2, 8)
+        assert (G * cells_t) % 128 == 0, "occ needs G*cells % 128 == 0"
+        if occ.shape == (n_steps, (G * cells_t) // 128, 128) \
+                and not (G == 1 and cells_t % 128 == 0):
+            occ_group = True
+        else:
+            assert cells_t % 128 == 0, \
+                "per-tile occ pack needs cells % 128 == 0 (use pack_occ_group)"
+            assert occ.shape == (n_tiles, cells_t // 128, 128), occ.shape
 
     cin_p = cp  # DMA lane width (already padded/folded by the caller)
     cout_p = _lanes(cout)
@@ -510,8 +534,9 @@ def tiled_conv3d(
             pltpu.VMEM((TX + 2 * h, G, TY, TZe, zb_lanes), x.dtype))
     scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, cout_p), x.dtype))
     if has_occ:
-        scratch.append(pltpu.VMEM((2, G, (TX * TY * TZe) // 128, 128),
-                                  jnp.float32))
+        occ_vmem = ((2, (G * cells_t) // 128, 128) if occ_group
+                    else (2, G, cells_t // 128, 128))
+        scratch.append(pltpu.VMEM(occ_vmem, jnp.float32))
     if has_res:
         scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, res_cp), x.dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_in
@@ -526,7 +551,7 @@ def tiled_conv3d(
         k=k, n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
         prefolded=prefolded, compact=compact, has_affine=has_affine,
         has_occ=has_occ, has_res=has_res, has_res_w=has_res_w,
-        res_cp=res_cp, relu_out=relu_out, ZR=zrun,
+        res_cp=res_cp, relu_out=relu_out, ZR=zrun, occ_group=occ_group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -580,6 +605,38 @@ def pack_occ(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
         g = jnp.stack(parts, axis=3)          # (T, TX, TY, R, TZ)
     return g.reshape(tiles.shape[0], (TX * TY * zrun * TZ) // 128,
                      128).astype(jnp.float32)
+
+
+def pack_occ_group(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
+                   tile_shape=(4, 4, 8), group: int = 16,
+                   zrun: int = 1) -> jnp.ndarray:
+    """Group-major occupancy pack: (n_steps, G*cells/128, 128) f32.
+
+    Rows within a step are laid out in the conv kernel's row order
+    (x, g, y, z), so the in-kernel expansion is a plain r // 128 slab
+    select. Unlike :func:`pack_occ`, tiles smaller than 128 cells are
+    legal — only ``group * cells % 128 == 0`` is required (e.g. the
+    (2, 2, 8) x G64 plan at L0)."""
+    TX, TY, TZ = tile_shape
+    TZe = zrun * TZ
+    cells = TX * TY * TZe
+    G = group
+    T = tiles.shape[0]
+    assert T % G == 0 and (G * cells) % 128 == 0
+    o = occ_grid[MX:occ_grid.shape[0] - MX, MY:occ_grid.shape[1] - MY,
+                 MZ:occ_grid.shape[2] - MZ]
+    X, Y, Z = o.shape
+    o = o.reshape(X // TX, TX, Y // TY, TY, Z // TZ, TZ)
+    o = jnp.transpose(o, (0, 2, 4, 1, 3, 5))  # (ntx, nty, ntz, TX, TY, TZ)
+    if zrun == 1:
+        g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, TX, TY, TZ)
+    else:
+        parts = [o[tiles[:, 0], tiles[:, 1], tiles[:, 2] + r]
+                 for r in range(zrun)]
+        g = jnp.stack(parts, axis=3)          # (T, TX, TY, R, TZ)
+    g = g.reshape(T // G, G, TX, TY * TZe)
+    g = jnp.transpose(g, (0, 2, 1, 3))        # (steps, TX, G, TY*TZe)
+    return g.reshape(T // G, (G * cells) // 128, 128).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -130,6 +130,43 @@ def test_tiled_conv_fused_epilogue(rng):
         np.testing.assert_allclose(got2[sl], want2[sl], atol=1e-4)
 
 
+@pytest.mark.parametrize("ts,group", [
+    ((2, 2, 8), 16),   # sub-128-cell tiles: only legal with the group pack
+    ((2, 4, 8), 8),
+    ((4, 4, 8), 4),    # also legal per-tile; exercises layout autodetect
+])
+def test_tiled_conv_group_occ_pack(rng, ts, group):
+    """Group-major occupancy pack == per-tile semantics (fine tiles)."""
+    from canonicalvoting_tpu.ops.pallas.tiled_conv import pack_occ_group
+
+    X, Y, Z, cin, cout = 16, 8, 32, 8, 8
+    x = np.zeros((X, Y, Z, cin), np.float32)
+    occ_cells = rng.randint(0, [X, Y, Z], (150, 3))
+    x[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = rng.randn(
+        150, cin).astype(np.float32)
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.2
+    scale = rng.rand(cout).astype(np.float32) + 0.5
+    bias = rng.randn(cout).astype(np.float32)
+    occ_grid = np.zeros((X, Y, Z), np.float32)
+    occ_grid[occ_cells[:, 0], occ_cells[:, 1], occ_cells[:, 2]] = 1.0
+    occ_m = jnp.pad(jnp.asarray(occ_grid), ((MX, MX), (MY, MY), (MZ, MZ)))
+
+    tiles = jnp.asarray(occupied_tiles(occ_cells, (X, Y, Z), ts,
+                                       pad_multiple=group))
+    occp = pack_occ_group(occ_m, tiles, ts, group=group)
+
+    got = _interior(tiled_conv3d(
+        _margined(x), jnp.asarray(w), tiles,
+        scale=jnp.asarray(scale), bias=jnp.asarray(bias), occ=occp,
+        relu_out=True, interpret=True, tile_shape=ts, group=group,
+    ), cout)
+    ref = _dense_ref(x, w, 3)
+    want = np.maximum((ref * scale + bias) * occ_grid[..., None], 0.0)
+    for t in np.asarray(tiles):
+        sl = _tile_slices(t, ts)
+        np.testing.assert_allclose(got[sl], want[sl], atol=1e-4)
+
+
 def test_tiled_down2_matches_xla(rng):
     """Stride-2 k=2 down conv + epilogue == the margined XLA path."""
     import jax.numpy as jnp
