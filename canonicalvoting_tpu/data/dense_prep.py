@@ -41,14 +41,27 @@ TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
 # tiles win. Keyed by STEM_KEY (an int: the tiles dict crosses jax pytree
 # boundaries, whose dict-key sort rejects mixed int/str keys).
 STEM_KEY = -1
-# (8,8,32)x2 -> (4,4,8)x16: 34 -> 22 ms (benchmarks/bench_stem.py) — the
-# k=5 stem is fold-bound, so fewer covered cells beat fewer DMAs here too
-STEM_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((4, 4, 8), 16)
-# the transposed-up kernel into L0 needs tile z % 16 (coarse-input window
-# alignment), which the fine stem tiles no longer provide — it gets its
-# own L0 list
-UP0_KEY = -2
-UP0_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((8, 8, 32), 2)
+# (8,8,32)x2 -> (4,2,8)x32: 34 -> 18 ms (benchmarks/bench_stem.py,
+# bench_diag4.py) — the k=5 stem is fold-bound, so fewer covered cells
+# beat fewer DMAs; sub-128-cell tiles ride the group-major occ pack
+STEM_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((4, 2, 8), 32)
+
+# dedicated fine lists for the expensive level-transition kernels
+# (bench_diag4/5.py): the up kernel needs tile z % 16 (coarse-input pair
+# alignment) and a parity occ pack, so it can't ride the fine conv lists.
+# Keyed by negative ints (the tiles dict crosses jax pytree boundaries).
+TRANS_KEYS: Dict[Tuple[str, int], int] = {
+    ("up", 0): -2,    # transposed-up into L0 (the 21.6 ms hot spot)
+    ("down", 1): -3,  # stride-2 down into L1
+    ("up", 1): -4,    # transposed-up into L1
+}
+# level: which stride level each transition key's tiles live on
+TRANS_LEVEL: Dict[int, int] = {-2: 0, -3: 1, -4: 1}
+TRANS_TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
+    -2: ((4, 4, 16), 8),
+    -3: ((4, 4, 8), 16),
+    -4: ((4, 4, 16), 8),
+}
 
 # finer tile plans for the k=3 block convs, keyed CONV_KEY_OFF + level in
 # the tile dict. The down/up level-transition kernels keep TILE_PLAN's
@@ -214,11 +227,15 @@ def level_tiles(coords: np.ndarray, base: np.ndarray,
     entries = [(lvl, lvl, ts_g) for lvl, ts_g in tile_plan.items()]
     if 0 in tile_plan:
         entries.append((STEM_KEY, 0, STEM_TILE_PLAN))
-        entries.append((UP0_KEY, 0, UP0_TILE_PLAN))
     if tile_plan is TILE_PLAN:
         entries.extend(
             (CONV_KEY_OFF + lvl, lvl, ts_g)
             for lvl, ts_g in CONV_TILE_PLAN.items() if lvl in tile_plan
+        )
+        entries.extend(
+            (key, TRANS_LEVEL[key], ts_g)
+            for key, ts_g in TRANS_TILE_PLAN.items()
+            if TRANS_LEVEL[key] in tile_plan or TRANS_LEVEL[key] == 0
         )
     for key, lvl, (tile_shape, group) in entries:
         ts = np.asarray(tile_shape)

@@ -467,7 +467,7 @@ class DenseMinkUNet(nn.Module):
                  n_scenes: int = 1, tile_runs=None):
         from canonicalvoting_tpu.data.dense_prep import (
             CONV_KEY_OFF, CONV_TILE_PLAN, STEM_KEY, STEM_TILE_PLAN,
-            TILE_PLAN, UP0_KEY, UP0_TILE_PLAN)
+            TILE_PLAN, TRANS_KEYS, TRANS_LEVEL, TRANS_TILE_PLAN)
 
         tiles = tiles or {}
         dx, dy, dz = grid_dims
@@ -484,8 +484,8 @@ class DenseMinkUNet(nn.Module):
         def _plan(key):
             if key == STEM_KEY:
                 return STEM_TILE_PLAN
-            if key == UP0_KEY:
-                return UP0_TILE_PLAN
+            if key in TRANS_TILE_PLAN:
+                return TRANS_TILE_PLAN[key]
             if key >= CONV_KEY_OFF:
                 return CONV_TILE_PLAN[key - CONV_KEY_OFF]
             return TILE_PLAN[key]
@@ -539,18 +539,28 @@ class DenseMinkUNet(nn.Module):
             from canonicalvoting_tpu.ops.pallas.tiled_conv import (
                 pack_occ, pack_occ_group, pack_occ_parity)
 
+            up_keys = {TRANS_KEYS[k] for k in TRANS_KEYS if k[0] == "up"}
             for key, t in tiles.items():
-                # STEM_KEY/UP0_KEY (-1/-2) pack L0 occupancy; conv keys
-                # (CONV_KEY_OFF + lvl) use the group-major pack, which
-                # legalizes their sub-128-cell tiles
-                lvl = key - CONV_KEY_OFF if key >= CONV_KEY_OFF \
-                    else max(key, 0)
-                ts, g = tsg[key]
+                # STEM_KEY (-1) packs L0 occupancy; TRANS keys (-2..) pack
+                # their TRANS_LEVEL; conv keys (CONV_KEY_OFF + lvl) use the
+                # group-major pack, which legalizes sub-128-cell tiles
                 if key >= CONV_KEY_OFF:
+                    lvl = key - CONV_KEY_OFF
+                elif key in TRANS_LEVEL:
+                    lvl = TRANS_LEVEL[key]
+                else:
+                    lvl = max(key, 0)
+                ts, g = tsg[key]
+                if key >= CONV_KEY_OFF or key == STEM_KEY:
+                    # group-major pack legalizes sub-128-cell tiles (the
+                    # fine conv plans and the (4, 2, 8) stem plan)
                     occp[key] = pack_occ_group(occ[lvl][0], t, ts, group=g)
                     continue
+                if key in up_keys:  # tiled_up2 wants the parity-major pack
+                    occp_up[key] = pack_occ_parity(occ[lvl][0], t, ts)
+                    continue
                 occp[key] = pack_occ(occ[lvl][0], t, ts)
-                if ts[2] % 16 == 0:  # usable by tiled_up2
+                if key >= 1 and ts[2] % 16 == 0:  # usable by tiled_up2
                     occp_up[key] = pack_occ_parity(occ[lvl][0], t, ts)
                 # occp_e (fused block kernel) intentionally not packed:
                 # the block kernel measured slower than the two-conv path
@@ -606,7 +616,11 @@ class DenseMinkUNet(nn.Module):
                            name=f"conv{i + 1}p{1 << i}s2")
             bn = DenseBatchNorm(ch, axis_name=self.bn_axis,
                                 name=f"bn{i + 1}")
-            key = i + 1
+            # down into level i+1 rides its dedicated fine TRANS list when
+            # present (bench_diag5.py), else the level's TILE_PLAN list
+            key = TRANS_KEYS.get(("down", i + 1), i + 1)
+            if key not in tiles:
+                key = i + 1
             if tiled and key in tiles:
                 from canonicalvoting_tpu.ops.pallas.tiled_conv import (
                     tiled_down2)
@@ -647,11 +661,13 @@ class DenseMinkUNet(nn.Module):
             bn = DenseBatchNorm(pl_[4 + d], axis_name=self.bn_axis,
                                 name=f"bntr{4 + d}")
             skip = skips[lvl - 1] if lvl >= 1 else out_p1
-            # up into L0 rides its own coarser (8, 8, 32) list (UP0_KEY —
-            # the up kernel needs tile z % 16, which the fine stem/conv
-            # lists no longer provide); other levels reuse the transition
-            # lists
-            up_key = UP0_KEY if lvl == 0 else lvl
+            # up into this level rides its dedicated fine TRANS list when
+            # present (the up kernel needs tile z % 16, which the fine
+            # stem/conv lists don't provide); else the level's TILE_PLAN
+            # list's parity pack
+            up_key = TRANS_KEYS.get(("up", lvl), lvl)
+            if up_key not in occp_up:
+                up_key = lvl
             if tiled and up_key in occp_up:
                 from canonicalvoting_tpu.ops.pallas.tiled_conv import (
                     tiled_up2)
