@@ -46,21 +46,21 @@ STEM_KEY = -1
 # beat fewer DMAs; sub-128-cell tiles ride the group-major occ pack
 STEM_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((4, 2, 8), 32)
 
-# dedicated fine lists for the expensive level-transition kernels
-# (bench_diag4/5.py): the up kernel needs tile z % 16 (coarse-input pair
-# alignment) and a parity occ pack, so it can't ride the fine conv lists.
-# Keyed by negative ints (the tiles dict crosses jax pytree boundaries).
+# dedicated lists for the expensive level-transition kernels
+# (bench_diag4/5.py, bench_up2v2.py). The up-into-L0 kernel
+# (tiled_up2_into) pays 8 lane-sliced DMAs per tile, so it wants the
+# COARSEST list; the down-into-L1 kernel wants a fine list (fewer covered
+# cells). Keyed by negative ints (the tiles dict crosses jax pytree
+# boundaries, whose dict-key sort rejects mixed int/str keys).
 TRANS_KEYS: Dict[Tuple[str, int], int] = {
     ("up", 0): -2,    # transposed-up into L0 (the 21.6 ms hot spot)
     ("down", 1): -3,  # stride-2 down into L1
-    ("up", 1): -4,    # transposed-up into L1
 }
 # level: which stride level each transition key's tiles live on
-TRANS_LEVEL: Dict[int, int] = {-2: 0, -3: 1, -4: 1}
+TRANS_LEVEL: Dict[int, int] = {-2: 0, -3: 1}
 TRANS_TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
-    -2: ((4, 4, 16), 8),
+    -2: ((8, 8, 32), 2),
     -3: ((4, 4, 8), 16),
-    -4: ((4, 4, 16), 8),
 }
 
 # finer tile plans for the k=3 block convs, keyed CONV_KEY_OFF + level in

@@ -155,13 +155,18 @@ class DenseConv(nn.Module):
     def __call__(self, x, tiles=None, ts_group=None, scale=None, bias=None,
                  occ=None, residual=None, res_w=None, res_scale=None,
                  res_bias=None, relu_out: bool = False, rows: bool = False,
-                 return_kernel: bool = False):
+                 return_kernel: bool = False, in_perm=None):
         k = self.kernel_size
         w = self.param(
             "kernel", kernel_init, (k ** 3, self.in_channels, self.out_channels)
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) \
             if self.use_bias else None
+        if in_perm is not None:
+            # input grid in a permuted channel layout (e.g. the [skip|conv]
+            # order tiled_up2_into leaves behind): reorder kernel rows at
+            # trace time; the stored parameter keeps the reference layout
+            w = w[:, in_perm, :]
         if return_kernel:
             # weights-only access for epilogue fusion into another kernel
             return w
@@ -277,7 +282,8 @@ class DenseBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None,
-                 ts_group=None, occp=None, occe=None, block_group=None):
+                 ts_group=None, occp=None, occe=None, block_group=None,
+                 in_perm=None):
         conv1 = DenseConv(self.in_channels, self.planes, 3,
                           compute_dtype=self.compute_dtype,
                           conv_impl=self.conv_impl, name="conv1")
@@ -298,12 +304,15 @@ class DenseBasicBlock(nn.Module):
 
         fused = (tiles is not None and occp is not None and not train
                  and self.conv_impl != "xla")
+        assert in_perm is None or fused, \
+            "permuted-input layout only occurs on the fused tiled path"
         if fused:
             a1, b1 = norm1(None, None, False, return_affine=True)
             a2, b2 = norm2(None, None, False, return_affine=True)
             wds = ars = brs = None
             if downsample:
-                wds = ds_conv(None, return_kernel=True)  # (1, Cin, planes)
+                wds = ds_conv(None, return_kernel=True,
+                              in_perm=in_perm)  # (1, Cin, planes)
                 wds = wds.reshape(self.in_channels, self.planes)
                 ars, brs = ds_norm(None, None, False, return_affine=True)
             use_block = False  # measured 2.2x slower than two-conv at L0
@@ -330,7 +339,7 @@ class DenseBasicBlock(nn.Module):
             # occupancy mask + (1x1-downsampled) residual add + relu in
             # the conv kernels' epilogues
             out = conv1(x, tiles, ts_group, scale=a1, bias=b1, occ=occp,
-                        relu_out=True)
+                        relu_out=True, in_perm=in_perm)
             if downsample:
                 return conv2(out, tiles, ts_group, scale=a2, bias=b2,
                              occ=occp, residual=x,
@@ -445,7 +454,7 @@ class DenseMinkUNet(nn.Module):
 
     def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
                 tiles=None, ts_group=None, occp=None, occe=None,
-                block_group=None):
+                block_group=None, in_perm=None):
         blk = _DENSE_BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
@@ -453,6 +462,10 @@ class DenseMinkUNet(nn.Module):
         if blk is DenseBasicBlock:
             kw = dict(occe=occe, block_group=block_group)
         for j in range(n_blocks):
+            if blk is DenseBasicBlock:
+                # only the group's first block sees the up kernel's
+                # [skip|conv] concat layout
+                kw["in_perm"] = in_perm if j == 0 else None
             x = blk(ch, planes, compute_dtype=self.compute_dtype,
                     bn_axis=self.bn_axis, conv_impl=self.conv_impl,
                     name=f"{name}_{j}")(
@@ -532,14 +545,22 @@ class DenseMinkUNet(nn.Module):
 
         occp = {}
         occp_up = {}
+        occp_up2 = {}
         occp_e = {}
         conv_tiles = {}   # k=3 conv tile source: z-run lists when available
         conv_occ = {}
         if tiled:
             from canonicalvoting_tpu.ops.pallas.tiled_conv import (
-                pack_occ, pack_occ_group, pack_occ_parity)
+                pack_occ, pack_occ_group, pack_occ_parity, pack_occ_updma)
 
             up_keys = {TRANS_KEYS[k] for k in TRANS_KEYS if k[0] == "up"}
+            # v2 up kernel (tiled_up2_into, in-place [skip|conv] concat)
+            # serves the hot L0/L1 decoder ups of basic-block models; it
+            # wants the row-major pack_occ_updma pack. L2/L3 ups keep the
+            # old kernel (their concat exceeds one 128-lane block).
+            v2_keys = set()
+            if self.block == "basic":
+                v2_keys = {TRANS_KEYS.get(("up", 0), 0), 1} & set(tiles)
             for key, t in tiles.items():
                 # STEM_KEY (-1) packs L0 occupancy; TRANS keys (-2..) pack
                 # their TRANS_LEVEL; conv keys (CONV_KEY_OFF + lvl) use the
@@ -551,16 +572,21 @@ class DenseMinkUNet(nn.Module):
                 else:
                     lvl = max(key, 0)
                 ts, g = tsg[key]
+                if key in v2_keys and ts[2] % 16 == 0:
+                    occp_up2[key] = pack_occ_updma(occ[lvl][0], t, ts, g)
+                    if key < 0:
+                        continue  # dedicated v2 list serves nothing else
                 if key >= CONV_KEY_OFF or key == STEM_KEY:
                     # group-major pack legalizes sub-128-cell tiles (the
                     # fine conv plans and the (4, 2, 8) stem plan)
                     occp[key] = pack_occ_group(occ[lvl][0], t, ts, group=g)
                     continue
-                if key in up_keys:  # tiled_up2 wants the parity-major pack
+                if key in up_keys:  # old tiled_up2 parity-major pack
                     occp_up[key] = pack_occ_parity(occ[lvl][0], t, ts)
                     continue
                 occp[key] = pack_occ(occ[lvl][0], t, ts)
-                if key >= 1 and ts[2] % 16 == 0:  # usable by tiled_up2
+                if key >= 1 and key not in v2_keys and ts[2] % 16 == 0:
+                    # usable by the old tiled_up2 (L2/L3 decoder ups)
                     occp_up[key] = pack_occ_parity(occ[lvl][0], t, ts)
                 # occp_e (fused block kernel) intentionally not packed:
                 # the block kernel measured slower than the two-conv path
@@ -661,14 +687,37 @@ class DenseMinkUNet(nn.Module):
             bn = DenseBatchNorm(pl_[4 + d], axis_name=self.bn_axis,
                                 name=f"bntr{4 + d}")
             skip = skips[lvl - 1] if lvl >= 1 else out_p1
-            # up into this level rides its dedicated fine TRANS list when
-            # present (the up kernel needs tile z % 16, which the fine
-            # stem/conv lists don't provide); else the level's TILE_PLAN
-            # list's parity pack
+            # up into L0/L1: tiled_up2_into writes the conv output straight
+            # into the DONATED skip grid at lanes [skip_c:] — the concat is
+            # free and the result layout is [skip | conv] (the next block's
+            # first conv permutes its input rows). L2/L3 concats exceed one
+            # 128-lane block and keep the old tiled_up2.
+            v2_key = TRANS_KEYS.get(("up", lvl), lvl)
+            in_perm = None
             up_key = TRANS_KEYS.get(("up", lvl), lvl)
             if up_key not in occp_up:
                 up_key = lvl
-            if tiled and up_key in occp_up:
+            if tiled and v2_key in occp_up2:
+                from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+                    tiled_up2_into)
+
+                wu = up(None, return_kernel=True)
+                a, b = bn(None, None, False, return_affine=True)
+                ts, g = tsg[v2_key]
+                skc = skip_chs[lvl]
+                cout_up = pl_[4 + d]
+                x = tiled_up2_into(
+                    pad_lanes(x[0].astype(dt_j), _lanes(ch)),
+                    wu.astype(dt_j), tiles[v2_key],
+                    dest=pad_lanes(skip[0].astype(dt_j), 128),
+                    skip_c=skc, scale=a, bias=b, occ=occp_up2[v2_key],
+                    relu_out=True, tile_shape=ts, group=g,
+                    interpret=interp)[None]
+                # new lane c holds: skip channel c (c < skc, ref row
+                # cout + c) or conv channel c - skc (ref row c - skc)
+                in_perm = np.concatenate(
+                    [np.arange(cout_up, cout_up + skc), np.arange(cout_up)])
+            elif tiled and up_key in occp_up:
                 from canonicalvoting_tpu.ops.pallas.tiled_conv import (
                     tiled_up2)
 
@@ -698,7 +747,7 @@ class DenseMinkUNet(nn.Module):
                 f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d], ly[4 + d],
                 train, mom, tiles=ct, ts_group=cts, occp=cocc,
                 occe=occp_e.get(lvl),
-                block_group=BLOCK_GROUP.get(lvl))
+                block_group=BLOCK_GROUP.get(lvl), in_perm=in_perm)
 
         # gather the point rows FIRST, then apply the 1x1 head to just those
         # rows — the head on the full grid would be a (n_cells, ch) matmul

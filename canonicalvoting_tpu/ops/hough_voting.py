@@ -481,9 +481,15 @@ def hough_voting_obj(
     corners: Optional[jnp.ndarray] = None,
     valid: Optional[jnp.ndarray] = None,
     rot_chunk: int = 4,
+    chunk_points: int = 128,
+    pallas_rot_chunk: int = 8,
     method: str = "auto",
 ) -> jnp.ndarray:
     """Objectness vote grid ONLY (no rot/scale channels).
+
+    ``rot_chunk`` is the XLA path's scan-memory knob; the plane-splat
+    kernel uses ``pallas_rot_chunk`` (its matmul contraction depth,
+    swept in benchmarks/bench_diag4.py / bench_vote2.py).
 
     Inference fast path: the plane-splat kernel runs with a single channel
     (1/6 the matmul width); pair with ``vote_stats_at_cell`` for the few
@@ -509,7 +515,9 @@ def hough_voting_obj(
         raw = hv_splat_pallas(
             points, xyz, scale, obj, corners[0], dims, res,
             num_rots=num_rots, grid_shape=grid_shape, valid=valid,
-            channels=1, interpret=(method == "pallas_interpret"),
+            channels=1, chunk_points=chunk_points,
+            rot_chunk=pallas_rot_chunk,
+            interpret=(method == "pallas_interpret"),
         )
         return raw[..., 0]
     go, _, _ = hough_voting(

@@ -1597,3 +1597,327 @@ def tiled_up2(
         interpret=interpret,
     )(*operands)
     return out.reshape(Xf, Yf, Zf, out_lanes)
+
+
+def pack_occ_updma(occ_grid: jnp.ndarray, tiles: jnp.ndarray, tile_shape,
+                   group: int) -> jnp.ndarray:
+    """Per-step occupancy for tiled_up2_into, coarse-cell-row-major.
+
+    Entry [s, row, d] (row = (xc, g, yc, zc) — the kernel's parent-matmul
+    row order) is the occupancy of fine cell (2*(tile_x + xc) + dx, ...)
+    for parity d = (dx*2 + dy)*2 + dz, matching the kernel's weight column
+    blocks. Lanes are padded 8 -> 128 (a sub-128 minor dim is not a legal
+    HBM DMA source) and the pack is bf16 ({0, 1} exact) to halve traffic.
+    Shape (T/group, group * cells/8, 128).
+    """
+    TX, TY, TZ = tile_shape
+    HX, HY, HZ = TX // 2, TY // 2, TZ // 2
+    o = occ_grid[MX:occ_grid.shape[0] - MX, MY:occ_grid.shape[1] - MY,
+                 MZ:occ_grid.shape[2] - MZ]
+    X, Y, Z = o.shape
+    # per-parity stride-2 slices (cheap XLA lowering; a 9-axis transpose
+    # with three size-2 minor axes compiles to an element-copy crawl):
+    # o8[x, y, z, d] = occ[2x + dx, 2y + dy, 2z + dz]
+    o8 = jnp.stack(
+        [o[dx::2, dy::2, dz::2]
+         for dx in range(2) for dy in range(2) for dz in range(2)],
+        axis=-1)                                   # (X/2, Y/2, Z/2, 8)
+    o8 = o8.reshape(X // TX, HX, Y // TY, HY, Z // TZ, HZ, 8)
+    o8 = jnp.transpose(o8, (0, 2, 4, 1, 3, 5, 6))
+    g = o8[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, HX, HY, HZ, 8)
+    T = tiles.shape[0]
+    g = g.reshape(T // group, group, HX, HY, HZ, 8)
+    g = jnp.transpose(g, (0, 2, 1, 3, 4, 5))
+    g = g.reshape(T // group, group * HX * HY * HZ, 8)
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, 120)))
+    return g.astype(jnp.bfloat16)
+
+
+def _up2v2_kernel(tiles_ref, *args, TX, TY, TZ, cin_p, skip_c, cout,
+                  n_steps, G, NTY, NTZ, out_dtype, has_affine, has_occ,
+                  has_skip, relu_out):
+    it = iter(args)
+    x_hbm = next(it)        # margined COARSE grid (plain view)
+    w_ref = next(it)        # (1, cin_p, 8*128) packed (dx, dy, dz, c) cols
+    ab_ref = next(it) if has_affine else None   # (2, 8*128)
+    occ_hbm = next(it) if has_occ else None     # pack_occ_updma output
+    _dest = next(it)
+    out_ref = next(it)      # dest grid 6D pair view (Xf/2, 2, Yf/2, 2, Zf/2, 256)
+    in_tile = next(it)      # (2, HX, G, HY, HZ, cin_p)
+    acc = next(it)          # (2, HX, G, HY, HZ, 8*128)
+    occ_tile = next(it) if has_occ else None    # (2, rows, 128) bf16
+    skv = next(it) if has_skip else None        # (2, HX, G, HY, HZ, 8*128)
+    sem_in = next(it)
+    sem_out = next(it)      # (2, G, 8)
+    sem_occ = next(it) if has_occ else None
+    sem_skip = next(it) if has_skip else None   # (2, G, 8)
+
+    t = pl.program_id(0)
+    HX, HY, HZ = TX // 2, TY // 2, TZ // 2
+
+    def txyz_half(step, g):
+        i = tiles_ref[step * G + g]
+        return ((i // (NTY * NTZ)) * HX, ((i // NTZ) % NTY) * HY,
+                (i % NTZ) * HZ)
+
+    def in_dma(slot, step, g):
+        txh, tyh, tzh = txyz_half(step, g)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(txh + MX, HX), pl.ds(tyh + MY, HY),
+                     pl.ds(tzh + MZ, HZ), :],
+            in_tile.at[slot, :, g], sem_in.at[slot, g],
+        )
+
+    def occ_dma(slot, step):
+        return pltpu.make_async_copy(
+            occ_hbm.at[step], occ_tile.at[slot], sem_occ.at[slot],
+        )
+
+    def _dst7(step, g, b):
+        dx, dy, dz = b >> 2, (b >> 1) & 1, b & 1
+        txh, tyh, tzh = txyz_half(step, g)
+        # 6D pair view slice: x/y-pair starts are txh + MX/2 etc; MZ/2 = 8
+        # keeps the z-pair offset 8-aligned; dz selects the aligned 128-lane
+        # half of the (dz, c) 256-lane minor dim (a 7D view's dz axis sits
+        # inside the HBM (2, 128) tile and cannot be sliced)
+        return out_ref.at[pl.ds(txh + MX // 2, HX), dx,
+                          pl.ds(tyh + MY // 2, HY), dy,
+                          pl.ds(tzh + MZ // 2, HZ),
+                          pl.ds(dz * 128, 128)]
+
+    def skip_dma(slot, step, g, b):
+        # the DONATED dest still holds the producer's [skip | zero] rows:
+        # read parity b's fine cells into lane block b of skv. Reading full
+        # 128-lane blocks keeps every DMA lane-aligned (sub-128 lane slices
+        # of VMEM are not lowerable).
+        return pltpu.make_async_copy(
+            _dst7(step, g, b),
+            skv.at[slot, :, g, :, :, pl.ds(b * 128, 128)],
+            sem_skip.at[slot, g, b],
+        )
+
+    def out_dma(slot, step, g, b):
+        return pltpu.make_async_copy(
+            acc.at[slot, :, g, :, :, pl.ds(b * 128, 128)],
+            _dst7(step, g, b),
+            sem_out.at[slot, g, b],
+        )
+
+    def start_in(slot, step):
+        for g in range(G):
+            in_dma(slot, step, g).start()
+            if has_skip:
+                for b in range(8):
+                    skip_dma(slot, step, g, b).start()
+        if has_occ:
+            occ_dma(slot, step).start()
+
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_in(slot, t)
+
+    @pl.when(t + 1 < n_steps)
+    def _():
+        start_in(nxt, t + 1)
+
+    for g in range(G):
+        in_dma(slot, t, g).wait()
+        if has_skip:
+            for b in range(8):
+                skip_dma(slot, t, g, b).wait()
+    if has_occ:
+        occ_dma(slot, t).wait()
+
+    @pl.when(t >= 2)
+    def _():
+        for g in range(G):
+            for b in range(8):
+                out_dma(slot, t - 2, g, b).wait()
+
+    rows = HX * G * HY * HZ
+    parents = in_tile[slot].reshape(rows, cin_p)
+    # ONE wide matmul: all 8 (dx, dy, dz) parities as 128-col lane blocks
+    # (cols [skip_c : skip_c + cout] of each block hold W[d], the rest are
+    # zero). The per-parity results leave through full-lane-block DMAs
+    # instead of the old kernel's 8 strided VPU scatters (which bound it at
+    # ~40x its MXU cost, benchmarks/bench_diag6.py).
+    res = jax.lax.dot_general(
+        parents, w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, 8 * 128)
+    if has_affine:
+        res = res * ab_ref[0:1, :] + ab_ref[1:2, :]
+    if has_occ:
+        occ8 = occ_tile[slot].astype(jnp.float32)  # (rows, 128), 8 used
+        # per-parity mask: lane-column broadcast per 128-block (no relayout)
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(occ8[:, b:b + 1], (rows, 128))
+             for b in range(8)], axis=1)
+        res = res * mask
+    if relu_out:
+        res = jnp.maximum(res, 0.0)
+    resc = res.astype(out_dtype)
+    if has_skip:
+        # skv lane blocks hold [skip | zeros]; res holds [zeros | conv]:
+        # one full-width add completes the fused concat. The readback is
+        # masked to the skip lanes so DUPLICATE tiles (tile-list padding)
+        # stay idempotent — an unmasked re-read of an already-written tile
+        # would re-add its conv lanes.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 8 * 128), 1)
+        keep = (jax.lax.rem(lane, 128) < skip_c).astype(out_dtype)
+        resc = resc + skv[slot].reshape(rows, 8 * 128) * keep
+    acc[slot] = resc.reshape(HX, G, HY, HZ, 8 * 128)
+
+    for g in range(G):
+        for b in range(8):
+            out_dma(slot, t, g, b).start()
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for g in range(G):
+            for b in range(8):
+                out_dma(slot, t, g, b).wait()
+                if n_steps >= 2:
+                    out_dma(nxt, t - 1, g, b).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("skip_c", "relu_out", "tile_shape", "group",
+                     "interpret"),
+)
+def tiled_up2_into(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    tiles: jnp.ndarray,
+    *,
+    dest: jnp.ndarray,
+    skip_c: int = 0,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    occ: Optional[jnp.ndarray] = None,
+    relu_out: bool = False,
+    tile_shape: Tuple[int, int, int] = (8, 8, 32),
+    group: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transposed stride-2 k=2 conv written IN-PLACE into ``dest``.
+
+    The successor of tiled_up2 for the hot L0/L1 decoder levels: ``dest``
+    (a margined fine grid, 128 lanes, holding the U-Net SKIP features at
+    lanes [0 : skip_c] and zeros elsewhere — i.e. the skip producer's own
+    buffer) is DONATED and returned with lanes [skip_c : skip_c + cout]
+    filled by the conv epilogue over the occupied tiles. The fused concat
+    layout is therefore [skip | conv] — callers must permute the NEXT
+    conv's input-channel rows (reference order is [conv | skip]).
+
+    Design: one wide matmul per step with the 8 (dx, dy, dz) parities as
+    128-col lane blocks, a full-width add of the skip rows (read back from
+    the donated buffer through per-parity pair-view DMAs), and full
+    lane-block DMAs both ways — no strided VPU scatters (the old kernel's
+    binding cost) and no separate concat pass or output memset. ``occ``
+    must be pack_occ_updma's output. Requires skip_c + cout <= 128 and
+    TZ % 16 == 0.
+    """
+    Xm, Ym, Zm, cp = x.shape
+    Xc, Yc, Zc = Xm - 2 * MX, Ym - 2 * MY, Zm - 2 * MZ
+    X, Y, Z = Xc * 2, Yc * 2, Zc * 2
+    cin, cout = w.shape[1], w.shape[2]
+    assert w.shape[0] == 8 and cp == _lanes(cin)
+    TX, TY, TZ = tile_shape
+    assert X % TX == 0 and Y % TY == 0 and Z % TZ == 0
+    assert TX % 2 == 0 and TY % 2 == 0 and TZ % 16 == 0
+    assert (scale is None) == (bias is None)
+    n_tiles = tiles.shape[0]
+    G = group
+    assert n_tiles % G == 0
+    n_steps = n_tiles // G
+    has_affine = scale is not None
+    has_occ = occ is not None
+    has_skip = skip_c > 0
+
+    Xf, Yf, Zf = X + 2 * MX, Y + 2 * MY, Z + 2 * MZ
+    assert dest.shape == (Xf, Yf, Zf, 128) and dest.dtype == x.dtype
+    assert skip_c + cout <= 128, "one parity per 128-lane block"
+
+    cin_p = cp
+    # packed weights: col block b = (dx*2 + dy)*2 + dz holds W[d] at cols
+    # [skip_c : skip_c + cout], d = dx + 2*dy + 4*dz (x-fastest offsets)
+    wp = jnp.pad(w, ((0, 0), (0, cin_p - cin),
+                     (skip_c, 128 - skip_c - cout)))
+    order = [dx + 2 * dy + 4 * dz
+             for dx in range(2) for dy in range(2) for dz in range(2)]
+    wf = jnp.transpose(wp[jnp.asarray(order)], (1, 0, 2))  # (cin_p, 8, 128)
+    wf = wf.reshape(cin_p, 8 * 128).astype(x.dtype)[None]
+
+    out7 = dest.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2, 256)
+
+    NTY, NTZ = Y // TY, Z // TZ
+    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
+                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+
+    operands = [tiles_flat, x, wf]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if has_affine:
+        pad1 = jnp.zeros((skip_c,), jnp.float32)
+        pad2 = jnp.zeros((128 - skip_c - cout,), jnp.float32)
+        sc8 = jnp.tile(jnp.concatenate(
+            [pad1, scale.astype(jnp.float32), pad2]), 8)
+        bi8 = jnp.tile(jnp.concatenate(
+            [pad1, bias.astype(jnp.float32), pad2]), 8)
+        operands.append(jnp.stack([sc8, bi8]))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    HX, HY, HZ = TX // 2, TY // 2, TZ // 2
+    if has_occ:
+        assert occ.shape == (n_steps, G * HX * HY * HZ, 128), occ.shape
+        operands.append(occ.astype(jnp.bfloat16))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    operands.append(out7)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    dest_index = len(operands) - 1
+
+    scratch = [
+        pltpu.VMEM((2, HX, G, HY, HZ, cin_p), x.dtype),
+        pltpu.VMEM((2, HX, G, HY, HZ, 8 * 128), x.dtype),
+    ]
+    if has_occ:
+        scratch.append(pltpu.VMEM((2, G * HX * HY * HZ, 128), jnp.bfloat16))
+    if has_skip:
+        scratch.append(pltpu.VMEM((2, HX, G, HY, HZ, 8 * 128), x.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, G)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, G, 8)))
+    if has_occ:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if has_skip:
+        scratch.append(pltpu.SemaphoreType.DMA((2, G, 8)))
+
+    kernel = functools.partial(
+        _up2v2_kernel, TX=TX, TY=TY, TZ=TZ, cin_p=cin_p, skip_c=skip_c,
+        cout=cout, n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ,
+        out_dtype=x.dtype, has_affine=has_affine, has_occ=has_occ,
+        has_skip=has_skip, relu_out=relu_out,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out7.shape, x.dtype),
+        input_output_aliases={dest_index: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(Xf, Yf, Zf, 128)
