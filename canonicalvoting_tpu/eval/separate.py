@@ -58,7 +58,11 @@ class SeparateDetectionPipeline:
     peel: PeelConfig = None
     nms_iou: float = 0.3
     hv_method: str = "auto"
-    grid_multiple: tuple = (64, 32, 128)
+    # x bucketing at 32 (not 64): the vote kernel's matmul M-dim and the
+    # VPU tent width scale with Gx, and real scenes sit just above a
+    # 32-boundary more often than not; doubling the x size-class count
+    # only recompiles the (cheap) vote+peel tail dispatch
+    grid_multiple: tuple = (32, 32, 128)
     cap_multiple: int = 4096
     # backbone/conv_impl/lazy_rot_scale mirror DetectionPipeline: "auto" =
     # dense + tiled + lazy on TPU, sparse elsewhere

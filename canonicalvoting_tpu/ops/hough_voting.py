@@ -510,6 +510,20 @@ def hough_voting_obj(
     dims = grid_dims_from_corners(corners, res)
     dims = jnp.minimum(dims, jnp.asarray(grid_shape, jnp.int32))
     if method in ("pallas", "pallas_interpret"):
+        interp = method == "pallas_interpret"
+        if grid_shape[0] % 32 == 0:
+            # x-bucket-windowed splat: the tent/matmul width tracks where a
+            # chunk's votes can land instead of the full Gx
+            # (benchmarks/bench_vote3.py)
+            from canonicalvoting_tpu.ops.pallas.hv_splat import (
+                hv_splat_windowed)
+
+            return hv_splat_windowed(
+                points, xyz, scale, obj, corners[0], dims, res,
+                num_rots=num_rots, grid_shape=grid_shape, valid=valid,
+                chunk_points=chunk_points, rot_chunk=pallas_rot_chunk,
+                interpret=interp,
+            )
         from canonicalvoting_tpu.ops.pallas.hv_splat import hv_splat_pallas
 
         raw = hv_splat_pallas(
@@ -517,7 +531,7 @@ def hough_voting_obj(
             num_rots=num_rots, grid_shape=grid_shape, valid=valid,
             channels=1, chunk_points=chunk_points,
             rot_chunk=pallas_rot_chunk,
-            interpret=(method == "pallas_interpret"),
+            interpret=interp,
         )
         return raw[..., 0]
     go, _, _ = hough_voting(

@@ -254,3 +254,44 @@ def test_vote_stats_at_cell_matches_dense_grids(rng):
             np.asarray(rot_vec), np.asarray(gr)[cell], atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(
             np.asarray(scale_vec), np.asarray(gsc)[cell], atol=2e-4, rtol=1e-3)
+
+
+def test_windowed_splat_matches_xla(rng):
+    """The x-bucket-windowed Pallas splat (interpret mode) must match the
+    XLA oracle, including large-radius points routed through its
+    full-width tail pass."""
+    import jax.numpy as jnp
+
+    from canonicalvoting_tpu.ops.hough_voting import (
+        compute_corners, grid_dims_from_corners, hough_voting_obj)
+    from canonicalvoting_tpu.ops.pallas.hv_splat import hv_splat_windowed
+
+    n, cap = 300, 512
+    points = np.zeros((cap, 3), np.float32)
+    points[:n] = rng.rand(n, 3).astype(np.float32) * np.array(
+        [1.5, 0.7, 1.5], np.float32)
+    valid = np.zeros((cap,), np.float32)
+    valid[:n] = 1.0
+    xyz = rng.randn(cap, 3).astype(np.float32) * 0.15
+    scale = np.abs(rng.randn(cap, 3)).astype(np.float32) * 0.3 + 0.05
+    scale[: n // 8] *= 8.0  # big boxes: exercise the large-radius tail
+    obj = rng.rand(cap).astype(np.float32)
+    res = 0.05
+    gs = (32, 16, 128)
+
+    ref = hough_voting_obj(
+        jnp.asarray(points), jnp.asarray(xyz), jnp.asarray(scale),
+        jnp.asarray(obj), res=res, num_rots=24, grid_shape=gs,
+        valid=jnp.asarray(valid), method="xla",
+    )
+    corners = compute_corners(jnp.asarray(points), jnp.asarray(valid))
+    dims = jnp.minimum(grid_dims_from_corners(corners, res),
+                       jnp.asarray(gs, np.int32))
+    got = hv_splat_windowed(
+        jnp.asarray(points), jnp.asarray(xyz), jnp.asarray(scale),
+        jnp.asarray(obj), corners[0], dims, res, num_rots=24,
+        grid_shape=gs, valid=jnp.asarray(valid), interpret=True,
+    )
+    # bf16 tents in the kernel vs f32 oracle
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
