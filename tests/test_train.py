@@ -215,7 +215,9 @@ def test_dense_joint_train_step_runs(rng):
     from canonicalvoting_tpu.train.steps import create_train_state_dense
 
     cfg = Config()
-    items = _tiny_joint_items(rng)
+    # single tiny scene, 2 steps: this test is dominated by the CPU compile
+    # of the dense backward convs — keep the traced graph minimal
+    items = _tiny_joint_items(rng, n_scenes=1)
     batch = collate_joint_dense(items, cap_multiple=512)
     out_ch = 6 * NCLASSES + NCLASSES + 1
     model = DenseMinkUNet(
@@ -227,8 +229,7 @@ def test_dense_joint_train_step_runs(rng):
     state = create_train_state_dense(model, optimizer, batch)
     step = make_joint_train_step(model, optimizer, cfg, backbone="dense")
     state, losses0 = step(state, batch, jnp.float32(1e-3), jnp.float32(0.5))
-    for _ in range(3):
-        state, losses = step(state, batch, jnp.float32(1e-3), jnp.float32(0.5))
+    state, losses = step(state, batch, jnp.float32(1e-3), jnp.float32(0.5))
     assert np.isfinite(float(losses0["loss"]))
     assert float(losses["loss"]) < float(losses0["loss"])
 
