@@ -19,6 +19,85 @@ import time
 import numpy as np
 
 
+def bench_separate():
+    """9-category (separate-models) configuration: scenes/sec with all 9
+    per-category backbones + votes + peels per scene (the reference's most
+    expensive path, eval_separate.py:165-186). Run: python bench.py --separate
+    """
+    import jax
+
+    from canonicalvoting_tpu.data.synthetic import make_scene
+    from canonicalvoting_tpu.decode.peeling import PeelConfig
+    from canonicalvoting_tpu.eval.separate import SeparateDetectionPipeline
+    from canonicalvoting_tpu.models import MinkUNet34C
+    from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+
+    rng = np.random.RandomState(0)
+    res = 0.03
+    n_scenes = 2
+    scenes = [
+        make_scene(rng, extent=(6.0, 2.5, 7.0), n_background=50000,
+                   n_boxes=6, pts_per_box=3000)
+        for _ in range(n_scenes)
+    ]
+
+    model = MinkUNet34C(3, 8)
+    pipe = SeparateDetectionPipeline(
+        model=model, stacked_variables=None, res=res, num_rots=120,
+        peel=PeelConfig(res=res, max_boxes=64, max_iters=96,
+                        elimination_inclusive=False),
+        cap_multiple=8192,
+    )
+    prepped = []
+    for s in scenes:
+        coords, idx = sparse_quantize(s.points, res)
+        prepped.append(pipe.prepare_quantized(coords, s.rgb[idx]))
+    if pipe.backbone == "dense":
+        _, feats0, flat0, valid0 = prepped[0][:4]
+        dense_dims0 = prepped[0][6]
+        dm = pipe._dense_model
+        init_fn = jax.jit(lambda r, f, fi, v: dm.init(
+            r, f, fi, v, tuple(dense_dims0), False))
+        var1 = init_fn(jax.random.PRNGKey(0), feats0, flat0, valid0)
+    else:
+        _, feats0, pyr0 = prepped[0][:3]
+        var1 = jax.jit(model.init)(jax.random.PRNGKey(0), feats0, pyr0)
+    pipe.stacked_variables = jax.tree_util.tree_map(
+        lambda x: jnp_stack9(x), var1)
+
+    for args in prepped:
+        out = pipe.run_scene(args)
+        int(np.asarray(out["n_boxes"]).sum())
+
+    n_passes = int(os.environ.get("BENCH_PASSES", "3"))
+    rates = []
+    for p in range(n_passes):
+        t0 = time.time()
+        outs = [pipe.run_scene(args) for args in prepped]
+        total = 0
+        for out in outs:
+            pipe.postprocess(out)
+            total += 1
+        elapsed = time.time() - t0
+        sps = total / elapsed
+        print(f"pass {p}: {sps:.3f} scenes/s (9 models)", file=sys.stderr)
+        rates.append(sps)
+    best, median = max(rates), sorted(rates)[len(rates) // 2]
+    print(json.dumps({
+        "metric": "scenes_per_sec_separate9",
+        "value": round(median, 3),
+        "unit": "scenes/sec/chip",
+        "best": round(best, 3),
+        "median": round(median, 3),
+    }))
+
+
+def jnp_stack9(x):
+    import jax.numpy as jnp
+
+    return jnp.stack([x] * 9)
+
+
 def main():
     import jax
 
@@ -27,6 +106,9 @@ def main():
     from canonicalvoting_tpu.decode.peeling import PeelConfig
     from canonicalvoting_tpu.eval.pipeline import DetectionPipeline
     from canonicalvoting_tpu.models import MinkUNet34C
+
+    if "--separate" in sys.argv:
+        return bench_separate()
 
     rng = np.random.RandomState(0)
     res = 0.03
