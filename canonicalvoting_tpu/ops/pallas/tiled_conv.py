@@ -82,7 +82,7 @@ def _lanes(c: int) -> int:
     return int(np.ceil(c / 128) * 128)
 
 
-def _kernel(tiles_ref, *args,
+def _kernel(txs_ref, tys_ref, tzs_ref, *args,
             TX: int, TY: int, TZ: int, cin_p: int, cin_r: int, cout: int,
             k: int, n_steps: int, G: int, NTY: int, NTZ: int, out_dtype,
             prefolded: bool, compact: bool, has_affine: bool, has_occ: bool,
@@ -120,9 +120,12 @@ def _kernel(tiles_ref, *args,
     wz = TZe if pointwise else TZe + 16
 
     def txyz(step, g):
-        i = tiles_ref[step * G + g]
-        return ((i // (NTY * NTZ)) * TX, ((i // NTZ) % NTY) * TY,
-                (i % NTZ) * TZ)
+        # tile origins are PRECOMPUTED host-side (three SMEM-prefetched 1D
+        # arrays): the per-tile scalar-core div/mod chain of the flat-id
+        # decode is part of the ~0.2us/tile issue cost that binds fine-tile
+        # plans
+        i = step * G + g
+        return txs_ref[i], tys_ref[i], tzs_ref[i]
 
     def in_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
@@ -476,10 +479,11 @@ def tiled_conv3d(
     assert out0.shape == (Xm, Ym, Zm, cout_p) and out0.dtype == x.dtype
 
     NTY, NTZ = Y // TY, Z // TZ
-    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
-                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+    txs = tiles[:, 0].astype(jnp.int32) * TX
+    tys = tiles[:, 1].astype(jnp.int32) * TY
+    tzs = tiles[:, 2].astype(jnp.int32) * TZ
 
-    operands = [tiles_flat, x, wf]
+    operands = [txs, tys, tzs, x, wf]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),   # x (margined)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (whole)
@@ -554,7 +558,7 @@ def tiled_conv3d(
         res_cp=res_cp, relu_out=relu_out, ZR=zrun, occ_group=occ_group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1020,7 +1024,7 @@ def tiled_block3d(
 # ---------------------------------------------------------------------------
 
 
-def _down2_kernel(tiles_ref, *args,
+def _down2_kernel(txs_ref, tys_ref, tzs_ref, *args,
                   TX, TY, TZ, cin_p, cout, n_steps, G, NTY, NTZ, out_dtype,
                   has_affine, has_occ, relu_out):
     TZe = TZ  # no z-run support in the down kernel
@@ -1042,9 +1046,8 @@ def _down2_kernel(tiles_ref, *args,
     t = pl.program_id(0)
 
     def txyz(step, g):
-        i = tiles_ref[step * G + g]
-        return ((i // (NTY * NTZ)) * TX, ((i // NTZ) % NTY) * TY,
-                (i % NTZ) * TZ)
+        i = step * G + g
+        return txs_ref[i], tys_ref[i], tzs_ref[i]
 
     def in_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
@@ -1208,10 +1211,11 @@ def tiled_down2(
     out0 = jnp.zeros((X + 2 * MX, Y + 2 * MY, Z + 2 * MZ, cout_p), x.dtype)
 
     NTY, NTZ = Y // TY, Z // TZ
-    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
-                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+    txs = tiles[:, 0].astype(jnp.int32) * TX
+    tys = tiles[:, 1].astype(jnp.int32) * TY
+    tzs = tiles[:, 2].astype(jnp.int32) * TZ
 
-    operands = [tiles_flat, x, wf]
+    operands = [txs, tys, tzs, x, wf]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1249,7 +1253,7 @@ def tiled_down2(
         has_affine=has_affine, has_occ=has_occ, relu_out=relu_out,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1266,7 +1270,7 @@ def tiled_down2(
     )(*operands)
 
 
-def _up2_kernel(tiles_ref, *args,
+def _up2_kernel(txs_ref, tys_ref, tzs_ref, *args,
                 TX, TY, TZ, cin_p, cout, cout_r, out_lanes, skip_c, skl,
                 n_steps, G, NTY, NTZ, out_dtype, has_affine, has_occ,
                 has_skip, relu_out):
@@ -1291,16 +1295,15 @@ def _up2_kernel(tiles_ref, *args,
     HX, HY, HZ = TX // 2, TY // 2, TZ // 2
 
     def txyz(step, g):
-        i = tiles_ref[step * G + g]
-        return ((i // (NTY * NTZ)) * TX, ((i // NTZ) % NTY) * TY,
-                (i % NTZ) * TZ)
+        # full-scale origins by MULTIPLICATION of the prefetched HALF-scale
+        # origins (a // 2 of a full origin would defeat Mosaic's
+        # divisibility proof for the 8-tiled z dim)
+        i = step * G + g
+        return 2 * txs_ref[i], 2 * tys_ref[i], 2 * tzs_ref[i]
 
     def txyz_half(step, g):
-        # half-scale offsets built by MULTIPLICATION (tz // 2 defeats
-        # Mosaic's divisibility proof for the 8-tiled z dim)
-        i = tiles_ref[step * G + g]
-        return ((i // (NTY * NTZ)) * HX, ((i // NTZ) % NTY) * HY,
-                (i % NTZ) * HZ)
+        i = step * G + g
+        return txs_ref[i], tys_ref[i], tzs_ref[i]
 
     def in_dma(slot, step, g):
         txh, tyh, tzh = txyz_half(step, g)
@@ -1526,10 +1529,11 @@ def tiled_up2(
     out6 = out0.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2, 2 * out_lanes)
 
     NTY, NTZ = Y // TY, Z // TZ
-    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
-                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+    txs = tiles[:, 0].astype(jnp.int32) * (TX // 2)
+    tys = tiles[:, 1].astype(jnp.int32) * (TY // 2)
+    tzs = tiles[:, 2].astype(jnp.int32) * (TZ // 2)
 
-    operands = [tiles_flat, x, wf]
+    operands = [txs, tys, tzs, x, wf]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1581,7 +1585,7 @@ def tiled_up2(
         relu_out=relu_out,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1633,7 +1637,7 @@ def pack_occ_updma(occ_grid: jnp.ndarray, tiles: jnp.ndarray, tile_shape,
     return g.astype(jnp.bfloat16)
 
 
-def _up2v2_kernel(tiles_ref, *args, TX, TY, TZ, cin_p, skip_c, cout,
+def _up2v2_kernel(txs_ref, tys_ref, tzs_ref, *args, TX, TY, TZ, cin_p, skip_c, cout,
                   n_steps, G, NTY, NTZ, out_dtype, has_affine, has_occ,
                   has_skip, relu_out):
     it = iter(args)
@@ -1656,9 +1660,9 @@ def _up2v2_kernel(tiles_ref, *args, TX, TY, TZ, cin_p, skip_c, cout,
     HX, HY, HZ = TX // 2, TY // 2, TZ // 2
 
     def txyz_half(step, g):
-        i = tiles_ref[step * G + g]
-        return ((i // (NTY * NTZ)) * HX, ((i // NTZ) % NTY) * HY,
-                (i % NTZ) * HZ)
+        # prefetched half-scale origins: no per-DMA div/mod scalar work
+        i = step * G + g
+        return txs_ref[i], tys_ref[i], tzs_ref[i]
 
     def in_dma(slot, step, g):
         txh, tyh, tzh = txyz_half(step, g)
@@ -1857,10 +1861,11 @@ def tiled_up2_into(
     out7 = dest.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2, 256)
 
     NTY, NTZ = Y // TY, Z // TZ
-    tiles_flat = ((tiles[:, 0].astype(jnp.int32) * NTY
-                   + tiles[:, 1]) * NTZ + tiles[:, 2])
+    txs = tiles[:, 0].astype(jnp.int32) * (TX // 2)
+    tys = tiles[:, 1].astype(jnp.int32) * (TY // 2)
+    tzs = tiles[:, 2].astype(jnp.int32) * (TZ // 2)
 
-    operands = [tiles_flat, x, wf]
+    operands = [txs, tys, tzs, x, wf]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1905,7 +1910,7 @@ def tiled_up2_into(
         has_skip=has_skip, relu_out=relu_out,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
