@@ -205,7 +205,7 @@ class DetectionPipeline:
             block=m.block, layers=m.layers, planes=m.planes,
             init_dim=m.init_dim, stem_kernel=m.stem_kernel,
             compute_dtype=m.compute_dtype, bn_axis=m.bn_axis,
-            conv_impl=self.conv_impl,
+            conv_impl=self.conv_impl, stem_impl=self.stem_impl,
         )
 
     @functools.cached_property

@@ -68,6 +68,7 @@ class SeparateDetectionPipeline:
     # dense + tiled + lazy on TPU, sparse elsewhere
     backbone: str = "auto"
     conv_impl: str = "auto"
+    stem_impl: str = "tiled"  # or "prefold" (see models.dense_unet)
     lazy_rot_scale: object = "auto"
 
     def __post_init__(self):
@@ -95,7 +96,7 @@ class SeparateDetectionPipeline:
             block=m.block, layers=m.layers, planes=m.planes,
             init_dim=m.init_dim, stem_kernel=m.stem_kernel,
             compute_dtype=m.compute_dtype, bn_axis=m.bn_axis,
-            conv_impl=self.conv_impl,
+            conv_impl=self.conv_impl, stem_impl=self.stem_impl,
         )
 
     def _vote_and_peel(self, xyz, scale, prob, coords_w, valid, grid_shape):

@@ -155,7 +155,8 @@ class DenseConv(nn.Module):
     def __call__(self, x, tiles=None, ts_group=None, scale=None, bias=None,
                  occ=None, residual=None, res_w=None, res_scale=None,
                  res_bias=None, relu_out: bool = False, rows: bool = False,
-                 return_kernel: bool = False, in_perm=None):
+                 return_kernel: bool = False, in_perm=None,
+                 prefold: bool = False):
         k = self.kernel_size
         w = self.param(
             "kernel", kernel_init, (k ** 3, self.in_channels, self.out_channels)
@@ -191,11 +192,17 @@ class DenseConv(nn.Module):
 
         if (tiles is not None and self.conv_impl != "xla"
                 and self.stride == 1 and not self.transpose):
-            from canonicalvoting_tpu.ops.pallas.tiled_conv import tiled_conv3d
+            from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+                fold_dydz, tiled_conv3d)
 
             assert b is None, "fused tiled conv folds bias via scale/bias"
             ts, group = ts_group
-            xin = pad_lanes(xc[0], _lanes(self.in_channels))
+            if prefold:
+                # (dy, dz) taps folded into lanes by an XLA pass; the
+                # kernel then runs pointwise windows (only dx expands)
+                xin = fold_dydz(xc[0, ..., :self.in_channels], k)
+            else:
+                xin = pad_lanes(xc[0], _lanes(self.in_channels))
             res = None
             if residual is not None:
                 res = residual[0].astype(dt)
@@ -218,7 +225,7 @@ class DenseConv(nn.Module):
                     scale=scale, bias=bias, occ=occ_c, residual=res,
                     res_w=res_w, res_scale=res_scale, res_bias=res_bias,
                     relu_out=relu_out, tile_shape=ts, group=Gr, zrun=R,
-                    out=outbuf,
+                    out=outbuf, prefolded=prefold,
                     interpret=(self.conv_impl == "tiled_interpret"),
                 )
             return outbuf[None]
@@ -514,12 +521,16 @@ class DenseMinkUNet(nn.Module):
         safe_idx = jnp.where(vmask, flat_idx, B * n_cells)
         frows = jnp.where(vmask[:, None], feats, 0.0)
         in_dt = jnp.bfloat16 if dt == "bfloat16" else jnp.float32
-        stem_tiled = (self.stem_impl == "tiled" and tiled
+        stem_tiled = (self.stem_impl in ("tiled", "prefold") and tiled
                       and STEM_KEY in tiles)
-        # tiled stem: scatter straight into the 128-lane grid the DMA wants
-        # (padding a (..., 3) grid afterwards would be a 2 GB copy)
-        scat_c = _lanes(self.in_channels) if stem_tiled \
-            else self.in_channels
+        stem_prefold = stem_tiled and self.stem_impl == "prefold"
+        # tiled (compact-fold) stem: scatter straight into the 128-lane
+        # grid the DMA wants (padding a (..., 3) grid afterwards would be a
+        # 2 GB copy). The prefold stem instead scatters into the COMPACT
+        # (..., Cin) grid and fold_dydz builds the 128-lane folded grid —
+        # no 128-lane zero-init and 42x fewer stem window bytes.
+        scat_c = _lanes(self.in_channels) \
+            if (stem_tiled and not stem_prefold) else self.in_channels
         dense = jnp.zeros((B * n_cells, scat_c), in_dt)
         dense = dense.at[safe_idx].set(
             pad_lanes(frows.astype(in_dt), scat_c), mode="drop")
@@ -624,7 +635,8 @@ class DenseMinkUNet(nn.Module):
         if stem_tiled:
             a0, b0 = bn0(None, None, False, return_affine=True)
             out_p1 = stem(x, tiles[STEM_KEY], tsg[STEM_KEY], scale=a0,
-                          bias=b0, occ=occp[STEM_KEY], relu_out=True)
+                          bias=b0, occ=occp[STEM_KEY], relu_out=True,
+                          prefold=stem_prefold)
         else:
             x = stem(x, None)
             x = x * occ[0][..., None]
