@@ -178,6 +178,7 @@ class DetectionPipeline:
     # occupied-tile kernel (ops/pallas/tiled_conv.py); "xla" keeps
     # lax.conv_general_dilated; "auto" = tiled on TPU.
     conv_impl: str = "auto"
+    stem_impl: str = "tiled"  # or "prefold" (see models.dense_unet)
     # splat only the obj vote channel and sample rot/scale lazily at the
     # peeled argmax cells (vote_stats_at_cell) — same math, ~6x less vote
     # MXU work. True/False, or "auto" (on, except interpret-mode tests).
