@@ -12,6 +12,8 @@ cd "$(dirname "$0")/.."
   timeout 900 python benchmarks/bench_vote2.py 2>&1 | grep -v "cpu_aot\|Machine\|features"
   echo "--- stem compact vs prefold (bench_stem2) ---"
   timeout 900 python benchmarks/bench_stem2.py 2>&1 | grep -v "cpu_aot\|Machine\|features"
+  echo "--- int8 MXU primitive (bench_int8) ---"
+  timeout 600 python benchmarks/bench_int8.py 2>&1 | grep -v "cpu_aot\|Machine\|features"
   echo "--- e2e bench ---"
   timeout 1200 python bench.py 2>&1 | grep -v "cpu_aot\|Machine\|features"
   echo "--- e2e bench (9-model separate) ---"
