@@ -509,12 +509,16 @@ def hough_voting_obj(
         corners = jnp.asarray(corners, points.dtype)
     dims = grid_dims_from_corners(corners, res)
     dims = jnp.minimum(dims, jnp.asarray(grid_shape, jnp.int32))
-    if method in ("pallas", "pallas_interpret"):
+    if method in ("pallas", "pallas_interpret", "pallas_windowed"):
         interp = method == "pallas_interpret"
-        if grid_shape[0] % 32 == 0:
+        if method == "pallas_windowed" and grid_shape[0] % 32 == 0:
             # x-bucket-windowed splat: the tent/matmul width tracks where a
-            # chunk's votes can land instead of the full Gx
-            # (benchmarks/bench_vote3.py)
+            # chunk's votes can land instead of the full Gx. MEASURED SLOWER
+            # than the plane splat on v5e (67.4 vs 42.6 ms at 120 rots,
+            # benchmarks/bench_vote3.py: the narrow canvas halves the MXU
+            # work but the per-window bookkeeping and the full-width tail
+            # pass for large-radius points eat the win) — kept as an
+            # explicit opt-in, NOT the auto default.
             from canonicalvoting_tpu.ops.pallas.hv_splat import (
                 hv_splat_windowed)
 

@@ -120,12 +120,14 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     wz = TZe if pointwise else TZe + 16
 
     def txyz(step, g):
-        # tile origins are PRECOMPUTED host-side (three SMEM-prefetched 1D
-        # arrays): the per-tile scalar-core div/mod chain of the flat-id
-        # decode is part of the ~0.2us/tile issue cost that binds fine-tile
-        # plans
+        # tile INDICES are SMEM-prefetched (three 1D arrays): kills the
+        # per-tile scalar-core div/mod chain of the flat-id decode (part of
+        # the ~0.2us/tile issue cost that binds fine-tile plans). Origins
+        # are built by in-kernel MULTIPLICATION with the constant extents —
+        # a premultiplied origin read from SMEM is opaque to Mosaic and
+        # defeats its z-divisibility (8) proof for the DMA slices.
         i = step * G + g
-        return txs_ref[i], tys_ref[i], tzs_ref[i]
+        return txs_ref[i] * TX, tys_ref[i] * TY, tzs_ref[i] * TZ
 
     def in_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
@@ -479,9 +481,9 @@ def tiled_conv3d(
     assert out0.shape == (Xm, Ym, Zm, cout_p) and out0.dtype == x.dtype
 
     NTY, NTZ = Y // TY, Z // TZ
-    txs = tiles[:, 0].astype(jnp.int32) * TX
-    tys = tiles[:, 1].astype(jnp.int32) * TY
-    tzs = tiles[:, 2].astype(jnp.int32) * TZ
+    txs = tiles[:, 0].astype(jnp.int32)
+    tys = tiles[:, 1].astype(jnp.int32)
+    tzs = tiles[:, 2].astype(jnp.int32)
 
     operands = [txs, tys, tzs, x, wf]
     in_specs = [
@@ -1046,8 +1048,10 @@ def _down2_kernel(txs_ref, tys_ref, tzs_ref, *args,
     t = pl.program_id(0)
 
     def txyz(step, g):
+        # prefetched tile INDICES; multiplication form keeps Mosaic's
+        # z-divisibility proof (see _kernel.txyz)
         i = step * G + g
-        return txs_ref[i], tys_ref[i], tzs_ref[i]
+        return txs_ref[i] * TX, tys_ref[i] * TY, tzs_ref[i] * TZ
 
     def in_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
@@ -1211,9 +1215,9 @@ def tiled_down2(
     out0 = jnp.zeros((X + 2 * MX, Y + 2 * MY, Z + 2 * MZ, cout_p), x.dtype)
 
     NTY, NTZ = Y // TY, Z // TZ
-    txs = tiles[:, 0].astype(jnp.int32) * TX
-    tys = tiles[:, 1].astype(jnp.int32) * TY
-    tzs = tiles[:, 2].astype(jnp.int32) * TZ
+    txs = tiles[:, 0].astype(jnp.int32)
+    tys = tiles[:, 1].astype(jnp.int32)
+    tzs = tiles[:, 2].astype(jnp.int32)
 
     operands = [txs, tys, tzs, x, wf]
     in_specs = [
@@ -1295,15 +1299,15 @@ def _up2_kernel(txs_ref, tys_ref, tzs_ref, *args,
     HX, HY, HZ = TX // 2, TY // 2, TZ // 2
 
     def txyz(step, g):
-        # full-scale origins by MULTIPLICATION of the prefetched HALF-scale
-        # origins (a // 2 of a full origin would defeat Mosaic's
-        # divisibility proof for the 8-tiled z dim)
+        # prefetched tile INDICES; full- and half-scale origins by in-kernel
+        # MULTIPLICATION with constant extents (premultiplied origins read
+        # from SMEM are opaque to Mosaic's z-divisibility proof)
         i = step * G + g
-        return 2 * txs_ref[i], 2 * tys_ref[i], 2 * tzs_ref[i]
+        return txs_ref[i] * TX, tys_ref[i] * TY, tzs_ref[i] * TZ
 
     def txyz_half(step, g):
         i = step * G + g
-        return txs_ref[i], tys_ref[i], tzs_ref[i]
+        return txs_ref[i] * HX, tys_ref[i] * HY, tzs_ref[i] * HZ
 
     def in_dma(slot, step, g):
         txh, tyh, tzh = txyz_half(step, g)
@@ -1529,9 +1533,9 @@ def tiled_up2(
     out6 = out0.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2, 2 * out_lanes)
 
     NTY, NTZ = Y // TY, Z // TZ
-    txs = tiles[:, 0].astype(jnp.int32) * (TX // 2)
-    tys = tiles[:, 1].astype(jnp.int32) * (TY // 2)
-    tzs = tiles[:, 2].astype(jnp.int32) * (TZ // 2)
+    txs = tiles[:, 0].astype(jnp.int32)
+    tys = tiles[:, 1].astype(jnp.int32)
+    tzs = tiles[:, 2].astype(jnp.int32)
 
     operands = [txs, tys, tzs, x, wf]
     in_specs = [
@@ -1660,9 +1664,10 @@ def _up2v2_kernel(txs_ref, tys_ref, tzs_ref, *args, TX, TY, TZ, cin_p, skip_c, c
     HX, HY, HZ = TX // 2, TY // 2, TZ // 2
 
     def txyz_half(step, g):
-        # prefetched half-scale origins: no per-DMA div/mod scalar work
+        # prefetched tile INDICES (no per-DMA div/mod scalar work);
+        # multiplication form keeps Mosaic's z-divisibility proof
         i = step * G + g
-        return txs_ref[i], tys_ref[i], tzs_ref[i]
+        return txs_ref[i] * HX, tys_ref[i] * HY, tzs_ref[i] * HZ
 
     def in_dma(slot, step, g):
         txh, tyh, tzh = txyz_half(step, g)
@@ -1861,9 +1866,9 @@ def tiled_up2_into(
     out7 = dest.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2, 256)
 
     NTY, NTZ = Y // TY, Z // TZ
-    txs = tiles[:, 0].astype(jnp.int32) * (TX // 2)
-    tys = tiles[:, 1].astype(jnp.int32) * (TY // 2)
-    tzs = tiles[:, 2].astype(jnp.int32) * (TZ // 2)
+    txs = tiles[:, 0].astype(jnp.int32)
+    tys = tiles[:, 1].astype(jnp.int32)
+    tzs = tiles[:, 2].astype(jnp.int32)
 
     operands = [txs, tys, tzs, x, wf]
     in_specs = [
