@@ -565,12 +565,16 @@ class DenseMinkUNet(nn.Module):
                 pack_occ, pack_occ_group, pack_occ_parity, pack_occ_updma)
 
             up_keys = {TRANS_KEYS[k] for k in TRANS_KEYS if k[0] == "up"}
-            # v2 up kernel (tiled_up2_into, in-place [skip|conv] concat)
-            # serves the hot L0/L1 decoder ups of basic-block models; it
-            # wants the row-major pack_occ_updma pack. L2/L3 ups keep the
-            # old kernel (their concat exceeds one 128-lane block).
+            # v2 up kernel (tiled_up2_into, in-place [skip|conv] concat):
+            # wins in isolation (21.5 -> 17.8 ms at up0, bench_up2v2.py)
+            # but LOSES ~100 ms e2e (3.55 vs 5.53 scenes/s) — the donated
+            # skip grid defeats XLA's buffer reuse in the full graph and
+            # its consumers pay trace-time row permutes. Opt-in via
+            # CV_UP2V2=1 for further isolation work; default is the old
+            # tiled_up2 everywhere.
             v2_keys = set()
-            if self.block == "basic":
+            import os as _os
+            if self.block == "basic" and _os.environ.get("CV_UP2V2"):
                 v2_keys = {TRANS_KEYS.get(("up", 0), 0), 1} & set(tiles)
             for key, t in tiles.items():
                 # STEM_KEY (-1) packs L0 occupancy; TRANS keys (-2..) pack
