@@ -160,12 +160,12 @@ class DetectionPipeline:
     peel: PeelConfig = None
     # Gx must be a multiple of 64 so the splat matmul width 6*Gx is a
     # multiple of 128 (fractional MXU tiles measured 16% slower); the y
-    # bucket is free (plane count doesn't matter); Gz is the splat lane dim
-    # x bucketing at 32 (not 64): the vote kernel's matmul M-dim and the
-    # VPU tent width scale with Gx, and real scenes sit just above a
-    # 32-boundary more often than not; doubling the x size-class count
-    # only recompiles the (cheap) vote+peel tail dispatch
-    grid_multiple: tuple = (32, 32, 128)
+    # bucket is free (plane count doesn't matter); Gz is the splat lane dim.
+    # x bucket back at 64: the windowed-splat experiment bucketed x at 32
+    # to track vote reach, but on TPU the x=224 grid runs the plane splat
+    # ~10% SLOWER than x=256 (42.7 vs 38.4 ms, bench_vote2) — fractional
+    # 128-lane x blocks cost more than the extra tent width saves.
+    grid_multiple: tuple = (64, 32, 128)
     cap_multiple: int = 4096
     nms_iou: float = 0.3
     hv_method: str = "auto"
