@@ -6,9 +6,11 @@ dense stride-2 downsampling reproduces the raw-coordinate floor-division
 semantics of the sparse pyramid (ops/coords.downsample_coords) exactly, and
 grid dims are rounded up to multiples of 16 (bucketed to limit recompiles).
 
-All dense grids are MARGINED: stored with (MX, MY, MZ) = (2, 2, 8) zero
-borders around the interior (see ops/pallas/tiled_conv.py) so Pallas conv
-windows never go out of bounds and z DMA starts stay 8-sublane aligned.
+All dense grids are MARGINED: stored with (MX, MY, MZ) = (2, 2, 16) zero
+borders around the interior (the single source of truth is
+ops/pallas/tiled_conv.py's MX/MY/MZ, imported below) so Pallas conv windows
+never go out of bounds, z DMA starts stay 8-sublane aligned, and the z-PAIR
+view used by the stride-2 transition kernels keeps 8-aligned pair offsets.
 Flat cell ids index the margined storage.
 """
 

@@ -4,12 +4,14 @@ Replaces torch DataLoader(num_workers=10) (reference train_joint.py:211).
 Two worker modes:
 
   * "process" (default for num_workers >= 2, like the reference's process
-    workers): a persistent fork pool runs ``__getitem__`` AND ``collate_fn``
-    for whole batches in worker processes — PLY parsing, label math,
-    quantization and pyramid/dense-id building are GIL-bound numpy/Python
-    (collate measured ~10x the item cost), so both must fan out to hit
-    training ingest rates. The pool is created once and reused across
-    epochs (fork shares dataset + collate closure copy-on-write).
+    workers): a persistent forkserver pool runs ``__getitem__`` AND
+    ``collate_fn`` for whole batches in worker processes — PLY parsing,
+    label math, quantization and pyramid/dense-id building are GIL-bound
+    numpy/Python (collate measured ~10x the item cost), so both must fan
+    out to hit training ingest rates. The pool is created once and reused
+    across epochs. forkserver (not fork) because the pool is created after
+    JAX initializes its runtime threads and fork-with-threads is unsafe;
+    unpicklable dataset/collate closures fall back to fork.
   * "thread": a thread pool over items with collate in the producer thread
     — enough for precomputed/ListDataset items and used in tests.
 
@@ -70,9 +72,20 @@ class DataLoader:
 
     def _ensure_pool(self):
         if self._pool is None:
-            # fork: dataset + collate_fn are inherited by the children
-            # (no pickling — lambdas/closures are fine as initargs)
-            ctx = multiprocessing.get_context("fork")
+            # forkserver: fork() from a threaded parent is unsafe (training
+            # always creates the pool after JAX has spun up its runtime
+            # threads; CPython 3.12+ warns and the child can deadlock in a
+            # lock a JAX thread held at fork time). The forkserver process
+            # is single-threaded, so its forks are clean; initargs travel
+            # by pickle. Fall back to plain fork only when the dataset or
+            # collate closure is unpicklable (tests with local lambdas).
+            import pickle
+
+            try:
+                pickle.dumps((self.dataset, self.collate_fn))
+                ctx = multiprocessing.get_context("forkserver")
+            except Exception:
+                ctx = multiprocessing.get_context("fork")
             self._pool = ctx.Pool(
                 self.num_workers, initializer=_pool_init,
                 initargs=(self.dataset, self.collate_fn),

@@ -58,11 +58,12 @@ class SeparateDetectionPipeline:
     peel: PeelConfig = None
     nms_iou: float = 0.3
     hv_method: str = "auto"
-    # x bucketing at 32 (not 64): the vote kernel's matmul M-dim and the
-    # VPU tent width scale with Gx, and real scenes sit just above a
-    # 32-boundary more often than not; doubling the x size-class count
-    # only recompiles the (cheap) vote+peel tail dispatch
-    grid_multiple: tuple = (32, 32, 128)
+    # same bucketing as DetectionPipeline (eval/pipeline.py): Gx must be a
+    # multiple of 64 so the splat matmul width is a multiple of 128 —
+    # x=32 bucketing made the plane splat ~10% SLOWER (42.7 vs 38.4 ms,
+    # bench_vote2: fractional 128-lane x blocks cost more than the extra
+    # tent width saves), and this pipeline runs that kernel 9x per scene
+    grid_multiple: tuple = (64, 32, 128)
     cap_multiple: int = 4096
     # backbone/conv_impl/lazy_rot_scale mirror DetectionPipeline: "auto" =
     # dense + tiled + lazy on TPU, sparse elsewhere

@@ -64,6 +64,46 @@ def collate_eval_scenes(scenes: List, cap: int, feats_dim: int = 3,
     }
 
 
+def make_sharded_votepeel_fn(mesh: Mesh, *, res: float = 0.03,
+                             num_rots: int = 120, peel: PeelConfig = None,
+                             grid_shape=(128, 64, 128)):
+    """Scene-parallel vote -> peel with PLANTED per-point heads.
+
+    Same fan-out as make_sharded_eval_fn but the batch carries the head
+    outputs (xyz, scale, prob, class_pred) directly instead of running a
+    backbone — used to drive the peeler's ACCEPT path with
+    perfect-prediction inputs (an untrained model detects nothing, so the
+    backbone variant only ever exercises the no-box branch; see
+    __graft_entry__.dryrun_multichip)."""
+    peel = peel or PeelConfig(res=res)
+
+    def per_scene(coords_w, xyz, scale, prob, class_pred, valid):
+        corners = compute_corners(coords_w, valid)
+        go, gr, gs = hough_voting(
+            coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
+            grid_shape=tuple(grid_shape), corners=corners, valid=valid,
+        )
+        return peel_boxes(go, gr, gs, coords_w, xyz, prob, class_pred,
+                          corners[0], peel, valid=valid)
+
+    scene_sharding = NamedSharding(mesh, P("data"))
+
+    @functools.partial(jax.jit, out_shardings=scene_sharding)
+    def eval_fn(batch):
+        return jax.vmap(per_scene)(
+            batch["coords_w"], batch["xyz"], batch["scale"], batch["prob"],
+            batch["class_pred"], batch["valid"],
+        )
+
+    def run(batch):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, scene_sharding), batch
+        )
+        return eval_fn(batch)
+
+    return run
+
+
 def make_sharded_eval_fn(model, mesh: Mesh, *, res: float = 0.03,
                          num_rots: int = 120, log_scale: bool = True,
                          peel: PeelConfig = None, grid_shape=(128, 64, 128)):
