@@ -28,19 +28,18 @@ N_ITER = 100
 
 
 def _kernel(x_ref, w_ref, o_ref, *, in_dt, acc_dt):
-    # hoist-proofing via a CHEAP per-iteration weight perturbation (the
-    # previous revision fed the output back into x with a (M, K) concat —
-    # 4.7 MB of VPU copy per iteration that dwarfed the matmul and measured
-    # the copy, not the MXU)
-    x = x_ref[...]
+    # hoist-proof: x_ref is (M + 8, K) and each iteration reads a dynamic
+    # 8-aligned sublane-offset (M, K) window ((i % 2) * 8), so no matmul is
+    # loop-invariant. (Earlier revisions: an (M, K) concat feedback measured
+    # the 4.7 MB VPU copy instead of the MXU; scalar weight perturbation and
+    # a dynamic (2, K, N) weight slice both crashed the remote compile
+    # helper.)
+    w = w_ref[...]
 
     def body(i, acc):
-        if in_dt == jnp.int8:
-            wi = w_ref[...] + (i % 2).astype(in_dt)
-        else:
-            wi = w_ref[...] * (1.0 + i.astype(in_dt) * in_dt(1e-6))
+        xi = x_ref[pl.ds((i % 2) * 8, M), :]
         return acc + jax.lax.dot_general(
-            x, wi,
+            xi, w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dt,
         )
@@ -51,10 +50,10 @@ def _kernel(x_ref, w_ref, o_ref, *, in_dt, acc_dt):
 
 def run(in_dt, acc_dt):
     if in_dt == jnp.int8:
-        x = jnp.array(np.random.randint(-4, 4, (M, K)), in_dt)
+        x = jnp.array(np.random.randint(-4, 4, (M + 8, K)), in_dt)
         w = jnp.array(np.random.randint(-4, 4, (K, N)), in_dt)
     else:
-        x = jnp.array(np.random.randn(M, K), in_dt)
+        x = jnp.array(np.random.randn(M + 8, K), in_dt)
         w = jnp.array(np.random.randn(K, N), in_dt)
     f = pl.pallas_call(
         functools.partial(_kernel, in_dt=in_dt, acc_dt=acc_dt),

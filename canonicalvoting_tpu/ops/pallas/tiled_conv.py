@@ -87,7 +87,8 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
             k: int, n_steps: int, G: int, NTY: int, NTZ: int, out_dtype,
             prefolded: bool, compact: bool, has_affine: bool, has_occ: bool,
             has_res: bool, has_res_w: bool, res_cp: int, relu_out: bool,
-            ZR: int = 1, occ_group: bool = False):
+            ZR: int = 1, occ_group: bool = False, int8_in: bool = False,
+            out_q: bool = False, has_res_deq: bool = False):
     h = k // 2
     # z-run: each tile-list entry covers ZR z-adjacent tiles with ONE DMA
     # (entry z-coord in base-TZ units); extents scale, strides/origins don't
@@ -100,6 +101,7 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     res_hbm = next(it) if has_res else None
     rw_ref = next(it) if has_res_w else None
     rab_ref = next(it) if has_res_w else None
+    rdq_ref = next(it) if has_res_deq else None
     _zeros = next(it)
     out_ref = next(it)
     in_tile = next(it)
@@ -232,15 +234,21 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
         src = in_tile[slot]
         kw = cin_p
 
+    # int8 mode: (int8, int8) -> int32 on the MXU (2.2x bf16 throughput at
+    # this shape, benchmarks/bench_int8*.py); K <= 1152 keeps |acc| <=
+    # 127*127*1152 ~ 1.9e7 < 2^24, so the int32 -> f32 cast below is exact
+    acc_t = jnp.int32 if int8_in else jnp.float32
     acc_v = None
     for dx in range(k):
         a = src[dx:dx + TX].reshape(rows, kw)
         part = jax.lax.dot_general(
             a, w_ref[dx],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
         )
         acc_v = part if acc_v is None else acc_v + part
+    if int8_in:
+        acc_v = acc_v.astype(jnp.float32)
 
     # fused epilogue — reference order conv -> BN(mask) -> +res -> relu;
     # affine-then-mask equals mask-then-affine for occ in {0, 1}
@@ -279,20 +287,30 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     if has_res:
         rrows = res_tile[slot].reshape(rows, res_cp)
         if has_res_w:
-            # fused downsample branch: 1x1 conv + BN affine + mask
+            # fused downsample branch: 1x1 conv + BN affine + mask. An int8
+            # residual rides the same int8 MXU path (rw is quantized with
+            # the input scales folded in; rab carries the dequant).
             rv = jax.lax.dot_general(
                 rrows, rw_ref[0],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                preferred_element_type=(jnp.int32 if rrows.dtype == jnp.int8
+                                        else jnp.float32),
+            ).astype(jnp.float32)
             rv = rv * rab_ref[0:1, :] + rab_ref[1:2, :]
             if has_occ:
                 rv = rv * occm
+        elif has_res_deq:
+            # int8 residual grid: per-channel dequant to the f32 domain
+            rv = rrows.astype(jnp.float32) * rdq_ref[0:1, :]
         else:
             rv = rrows.astype(jnp.float32)
         acc_v = acc_v + rv
     if relu_out:
         acc_v = jnp.maximum(acc_v, 0.0)
+    if out_q:
+        # requantize: the affine above already divided by the output scale
+        lo = 0.0 if relu_out else -127.0
+        acc_v = jnp.clip(jnp.round(acc_v), lo, 127.0)
 
     acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZe, cout)
 
@@ -376,7 +394,7 @@ def _fold_w(w, k, cin, cin_p, cout_p, dtype, prefolded):
 @functools.partial(
     jax.jit,
     static_argnames=("tile_shape", "kernel_size", "group", "relu_out",
-                     "prefolded", "zrun", "interpret"),
+                     "prefolded", "zrun", "out_dtype", "interpret"),
 )
 def tiled_conv3d(
     x: jnp.ndarray,
@@ -390,6 +408,9 @@ def tiled_conv3d(
     res_w: Optional[jnp.ndarray] = None,
     res_scale: Optional[jnp.ndarray] = None,
     res_bias: Optional[jnp.ndarray] = None,
+    x_scale: Optional[jnp.ndarray] = None,
+    out_scale: Optional[jnp.ndarray] = None,
+    res_x_scale: Optional[jnp.ndarray] = None,
     relu_out: bool = False,
     tile_shape: Tuple[int, int, int] = (4, 4, 8),
     kernel_size: int = 3,
@@ -397,6 +418,7 @@ def tiled_conv3d(
     prefolded: bool = False,
     zrun: int = 1,
     out: Optional[jnp.ndarray] = None,
+    out_dtype=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Submanifold odd-k Conv3D over occupied tiles, with fused epilogue.
@@ -415,6 +437,16 @@ def tiled_conv3d(
         bias = beta - mean*scale). Both or neither.
       occ: optional (T, cells/128, 128) f32 per-tile occupancy (see
         pack_occ); output cells with occ == 0 are zeroed.
+      x_scale: REQUIRED iff x is int8 — per-channel (Cin,) f32 dequant
+        scales of the input grid (true value = q * x_scale[c]). Folded into
+        the weights before per-output-channel symmetric int8 quantization,
+        so the matmuls run (int8, int8) -> int32 on the MXU (~2.2x bf16 at
+        this shape) and the dequant rides the existing affine epilogue.
+      out_scale: optional per-channel (Cout,) f32 — requantize the epilogue
+        result to an int8 output grid (q = clip(round(y / out_scale), ...));
+        the division is folded into the affine. None = float output.
+      res_x_scale: per-channel dequant scales of an int8 ``residual``
+        (with ``res_w`` they fold into the quantized 1x1 weights).
       residual: optional margined grid added before the ReLU. With
         ``res_w`` (Cr, Cout), the residual rows first pass through a fused
         1x1 conv + ``res_scale``/``res_bias`` affine + occupancy mask —
@@ -450,7 +482,6 @@ def tiled_conv3d(
     assert n_tiles % G == 0, "pad the tile list to a group multiple"
     n_steps = n_tiles // G
     TZe = zrun * TZ
-    has_affine = scale is not None
     has_occ = occ is not None
     has_res = residual is not None
     has_res_w = res_w is not None
@@ -472,13 +503,51 @@ def tiled_conv3d(
 
     cin_p = cp  # DMA lane width (already padded/folded by the caller)
     cout_p = _lanes(cout)
-    wf = _fold_w(w, k, cin, cin_p, cout_p, x.dtype, prefolded)
+
+    int8_in = x.dtype == jnp.int8
+    out_q = out_scale is not None
+    if out_dtype is None:
+        out_dtype = jnp.int8 if out_q else (
+            jnp.bfloat16 if int8_in else x.dtype)
+    res_is_int8 = residual is not None and residual.dtype == jnp.int8
+    # residual-side dequant vector is needed whenever the plain-add residual
+    # is in a different numeric domain than the epilogue result: int8
+    # residual (dequant by its scales) and/or int8 output (divide by
+    # out_scale so the requant step maps it back)
+    has_res_deq = residual is not None and res_w is None and \
+        (res_is_int8 or out_q)
+
+    if int8_in:
+        assert x_scale is not None and x_scale.shape == (cin,), \
+            "int8 input grids need per-channel x_scale"
+        w_t = w.astype(jnp.float32) * x_scale[None, :, None]
+        sw = jnp.maximum(jnp.max(jnp.abs(w_t), axis=(0, 1)), 1e-12) / 127.0
+        w_k = jnp.clip(jnp.round(w_t / sw[None, None, :]), -127, 127)
+        eff_scale = sw * (scale.astype(jnp.float32)
+                          if scale is not None else 1.0)
+        eff_bias = (bias.astype(jnp.float32) if bias is not None
+                    else jnp.zeros((cout,), jnp.float32))
+        w_dtype = jnp.int8
+    else:
+        assert x_scale is None, "x_scale requires an int8 input grid"
+        w_k = w
+        eff_scale, eff_bias = scale, bias
+        w_dtype = x.dtype
+    if out_q:
+        assert out_scale.shape == (cout,)
+        inv_o = 1.0 / out_scale.astype(jnp.float32)
+        eff_scale = (eff_scale if eff_scale is not None
+                     else jnp.ones((cout,), jnp.float32)) * inv_o
+        eff_bias = (eff_bias if eff_bias is not None
+                    else jnp.zeros((cout,), jnp.float32)) * inv_o
+
+    wf = _fold_w(w_k, k, cin, cin_p, cout_p, w_dtype, prefolded)
     # chainable output: z-run decomposition runs one pallas_call per run
     # length, each donating the previous call's output and writing only its
     # own tiles
     out0 = out if out is not None \
-        else jnp.zeros((Xm, Ym, Zm, cout_p), x.dtype)
-    assert out0.shape == (Xm, Ym, Zm, cout_p) and out0.dtype == x.dtype
+        else jnp.zeros((Xm, Ym, Zm, cout_p), out_dtype)
+    assert out0.shape == (Xm, Ym, Zm, cout_p) and out0.dtype == out_dtype
 
     NTY, NTZ = Y // TY, Z // TZ
     txs = tiles[:, 0].astype(jnp.int32)
@@ -490,10 +559,11 @@ def tiled_conv3d(
         pl.BlockSpec(memory_space=pltpu.HBM),   # x (margined)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (whole)
     ]
+    has_affine = eff_scale is not None
     if has_affine:
         ab = jnp.stack([
-            jnp.pad(scale.astype(jnp.float32), (0, cout_p - cout)),
-            jnp.pad(bias.astype(jnp.float32), (0, cout_p - cout)),
+            jnp.pad(eff_scale.astype(jnp.float32), (0, cout_p - cout)),
+            jnp.pad(eff_bias.astype(jnp.float32), (0, cout_p - cout)),
         ])
         operands.append(ab)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -506,22 +576,47 @@ def tiled_conv3d(
         assert res_cp % 128 == 0, "residual grid needs 128-multiple lanes"
         if not has_res_w:
             assert res_cp == cout_p, (res_cp, cout_p)
-        operands.append(residual.astype(x.dtype))
+        operands.append(residual if res_is_int8
+                        else residual.astype(x.dtype if not int8_in
+                                             else jnp.bfloat16))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     if has_res_w:
         cr = res_w.shape[0]
-        rw = jnp.pad(res_w, ((0, res_cp - cr), (0, cout_p - cout)))
-        operands.append(rw.astype(x.dtype)[None])
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        rs = (res_scale if res_scale is not None
+        rs = (res_scale.astype(jnp.float32) if res_scale is not None
               else jnp.ones((cout,), jnp.float32))
-        rb = (res_bias if res_bias is not None
+        rb = (res_bias.astype(jnp.float32) if res_bias is not None
               else jnp.zeros((cout,), jnp.float32))
+        if res_is_int8:
+            assert res_x_scale is not None and res_x_scale.shape == (cr,)
+            rw_t = res_w.astype(jnp.float32) * res_x_scale[:, None]
+            srw = jnp.maximum(jnp.max(jnp.abs(rw_t), axis=0), 1e-12) / 127.0
+            rwq = jnp.clip(jnp.round(rw_t / srw[None, :]), -127, 127)
+            rw = jnp.pad(rwq, ((0, res_cp - cr), (0, cout_p - cout)))
+            operands.append(rw.astype(jnp.int8)[None])
+            rs = srw * rs
+        else:
+            rw = jnp.pad(res_w, ((0, res_cp - cr), (0, cout_p - cout)))
+            operands.append(rw.astype(x.dtype if not int8_in
+                                      else jnp.bfloat16)[None])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if out_q:
+            rs = rs * inv_o
+            rb = rb * inv_o
         rab = jnp.stack([
             jnp.pad(rs.astype(jnp.float32), (0, cout_p - cout)),
             jnp.pad(rb.astype(jnp.float32), (0, cout_p - cout)),
         ])
         operands.append(rab)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if has_res_deq:
+        # per-channel residual dequant (x requant fold): true residual =
+        # q_res * res_x_scale; the epilogue works in the /out_scale domain
+        dq = (res_x_scale.astype(jnp.float32) if res_is_int8
+              else jnp.ones((cout,), jnp.float32))
+        if out_q:
+            dq = dq * inv_o
+        rdq = jnp.pad(dq, (0, res_cp - dq.shape[0]))[None]
+        operands.append(rdq)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     operands.append(out0)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # donated zeros
@@ -538,13 +633,15 @@ def tiled_conv3d(
         zb_lanes = _lanes(k * k * cin) if compact else k * k * cin_p
         scratch.append(
             pltpu.VMEM((TX + 2 * h, G, TY, TZe, zb_lanes), x.dtype))
-    scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, cout_p), x.dtype))
+    scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, cout_p), out_dtype))
     if has_occ:
         occ_vmem = ((2, (G * cells_t) // 128, 128) if occ_group
                     else (2, G, cells_t // 128, 128))
         scratch.append(pltpu.VMEM(occ_vmem, jnp.float32))
     if has_res:
-        scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, res_cp), x.dtype))
+        res_dt = jnp.int8 if res_is_int8 else (
+            x.dtype if not int8_in else jnp.bfloat16)
+        scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, res_cp), res_dt))
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_in
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_out
     if has_occ:
@@ -554,10 +651,11 @@ def tiled_conv3d(
 
     kernel = functools.partial(
         _kernel, TX=TX, TY=TY, TZ=TZ, cin_p=cin_p, cin_r=cin, cout=cout_p,
-        k=k, n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
+        k=k, n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=out_dtype,
         prefolded=prefolded, compact=compact, has_affine=has_affine,
         has_occ=has_occ, has_res=has_res, has_res_w=has_res_w,
         res_cp=res_cp, relu_out=relu_out, ZR=zrun, occ_group=occ_group,
+        int8_in=int8_in, out_q=out_q, has_res_deq=has_res_deq,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -569,7 +667,7 @@ def tiled_conv3d(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Xm, Ym, Zm, cout_p), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Xm, Ym, Zm, cout_p), out_dtype),
         input_output_aliases={zeros_index: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
