@@ -161,7 +161,8 @@ class DenseConv(nn.Module):
                  res_bias=None, relu_out: bool = False, rows: bool = False,
                  return_kernel: bool = False, in_perm=None,
                  prefold: bool = False, x_scale=None, res_x_scale=None,
-                 quant_out: bool = False, calibrate: bool = False):
+                 quant_out: bool = False, calibrate: bool = False,
+                 donate=None):
         k = self.kernel_size
         w = self.param(
             "kernel", kernel_init, (k ** 3, self.in_channels, self.out_channels)
@@ -240,7 +241,27 @@ class DenseConv(nn.Module):
             else:
                 run_list = [(1, group, tiles)]
                 occ_list = [occ]
+            # grid-buffer reuse: a DEAD same-shape grid seeds the donated
+            # output (pallas input_output_aliasing), skipping the ~3 ms
+            # full-grid zero fill at L0. Safe because (a) the kernel fully
+            # overwrites every covered tile and the donor (a producer over
+            # the SAME tile list) is zero elsewhere, and (b) XLA's
+            # copy-insertion protects any liveness mistake. When the donor
+            # IS the residual (res_in_place), the kernel reads each tile's
+            # residual from the aliased out buffer before overwriting it,
+            # so the grid has a single use and aliasing is copy-free.
+            # Shape/dtype mismatches fall back to fresh zeros.
             outbuf = None
+            res_ip = False
+            if donate is not None and x_scale is None and not quant_out:
+                cand = donate[0] if donate.ndim == 5 else donate
+                if (cand.shape == xin.shape[:3]
+                        + (_lanes(self.out_channels),)
+                        and cand.dtype == dt):
+                    outbuf = cand
+                    if residual is not None and donate is residual:
+                        res_ip = True
+                        res = None
             for (R, Gr, t), occ_c in zip(run_list, occ_list):
                 outbuf = tiled_conv3d(
                     xin, w.astype(jnp.float32 if x_scale is not None else dt),
@@ -248,7 +269,7 @@ class DenseConv(nn.Module):
                     scale=scale, bias=bias, occ=occ_c, residual=res,
                     res_w=res_w, res_scale=res_scale, res_bias=res_bias,
                     x_scale=x_scale, out_scale=out_scale,
-                    res_x_scale=res_x_scale,
+                    res_x_scale=res_x_scale, res_in_place=res_ip,
                     relu_out=relu_out, tile_shape=ts, group=Gr, zrun=R,
                     out=outbuf, prefolded=prefold,
                     interpret=(self.conv_impl == "tiled_interpret"),
@@ -323,7 +344,7 @@ class DenseBasicBlock(nn.Module):
     def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None,
                  ts_group=None, occp=None, occe=None, block_group=None,
                  in_perm=None, quant_out: bool = False,
-                 calibrate: bool = False):
+                 calibrate: bool = False, c1_buf=None):
         conv1 = DenseConv(self.in_channels, self.planes, 3,
                           compute_dtype=self.compute_dtype,
                           conv_impl=self.conv_impl,
@@ -397,16 +418,25 @@ class DenseBasicBlock(nn.Module):
                 return out  # tuple iff quant_out
             # two-conv fused path: BN folded to per-channel affine +
             # occupancy mask + (1x1-downsampled) residual add + relu in
-            # the conv kernels' epilogues
+            # the conv kernels' epilogues. Buffer reuse: conv1 writes into
+            # the previous block's conv1 grid (dead once that block's
+            # conv2 read it; threaded via the c1_buf slot), conv2 into its
+            # residual x (same-region read-before-write in the kernel, and
+            # x is dead after this block in every stack).
+            d1 = c1_buf[0] if c1_buf else None
             out = conv1(x, tiles, ts_group, scale=a1, bias=b1, occ=occp,
-                        relu_out=True, in_perm=in_perm, calibrate=calibrate)
+                        relu_out=True, in_perm=in_perm, calibrate=calibrate,
+                        donate=d1)
+            if c1_buf is not None:
+                c1_buf[0] = out
             if downsample:
                 return conv2(out, tiles, ts_group, scale=a2, bias=b2,
                              occ=occp, residual=x,
                              res_w=wds, res_scale=ars, res_bias=brs,
-                             relu_out=True, calibrate=calibrate)
+                             relu_out=True, calibrate=calibrate, donate=x)
             return conv2(out, tiles, ts_group, scale=a2, bias=b2, occ=occp,
-                         residual=x, relu_out=True, calibrate=calibrate)
+                         residual=x, relu_out=True, calibrate=calibrate,
+                         donate=x)
 
         def residual():
             if downsample:
@@ -534,6 +564,7 @@ class DenseMinkUNet(nn.Module):
             # init/apply see the same tree whether or not this call runs the
             # tiled path; runtime int8 behavior is gated by `quantize`
             bkw = dict(quantize=self.quantize)
+        c1_buf = [None]
         for j in range(n_blocks):
             if blk is DenseBasicBlock:
                 # only the group's first block sees the up kernel's
@@ -542,6 +573,8 @@ class DenseMinkUNet(nn.Module):
                 # int8 segment spans the stack; the last block exits bf16
                 kw["quant_out"] = quantize and j < n_blocks - 1
                 kw["calibrate"] = calibrate
+                # conv1 buffer reuse across the stack (see DenseBasicBlock)
+                kw["c1_buf"] = c1_buf
             x = blk(ch, planes, compute_dtype=self.compute_dtype,
                     bn_axis=self.bn_axis, conv_impl=self.conv_impl,
                     name=f"{name}_{j}", **bkw)(

@@ -88,7 +88,8 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
             prefolded: bool, compact: bool, has_affine: bool, has_occ: bool,
             has_res: bool, has_res_w: bool, res_cp: int, relu_out: bool,
             ZR: int = 1, occ_group: bool = False, int8_in: bool = False,
-            out_q: bool = False, has_res_deq: bool = False):
+            out_q: bool = False, has_res_deq: bool = False,
+            res_from_out: bool = False):
     h = k // 2
     # z-run: each tile-list entry covers ZR z-adjacent tiles with ONE DMA
     # (entry z-coord in base-TZ units); extents scale, strides/origins don't
@@ -98,7 +99,7 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     w_ref = next(it)
     ab_ref = next(it) if has_affine else None
     occ_hbm = next(it) if has_occ else None
-    res_hbm = next(it) if has_res else None
+    res_hbm = next(it) if (has_res and not res_from_out) else None
     rw_ref = next(it) if has_res_w else None
     rab_ref = next(it) if has_res_w else None
     rdq_ref = next(it) if has_res_deq else None
@@ -155,9 +156,15 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
 
     def res_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
+        # res_from_out: the residual lives in the ALIASED output buffer
+        # (tiled_conv3d's out=residual). Safe: this tile's region is read
+        # here before its out_dma write, and every other in-flight write
+        # targets a different tile (unique tile list), so regions never
+        # overlap across pipeline slots.
+        src = out_ref if res_from_out else res_hbm
         return pltpu.make_async_copy(
-            res_hbm.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
-                       pl.ds(tz + MZ, TZe), :],
+            src.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
+                   pl.ds(tz + MZ, TZe), :],
             res_tile.at[slot, :, g], sem_res.at[slot, g],
         )
 
@@ -394,7 +401,8 @@ def _fold_w(w, k, cin, cin_p, cout_p, dtype, prefolded):
 @functools.partial(
     jax.jit,
     static_argnames=("tile_shape", "kernel_size", "group", "relu_out",
-                     "prefolded", "zrun", "out_dtype", "interpret"),
+                     "prefolded", "zrun", "out_dtype", "res_in_place",
+                     "interpret"),
 )
 def tiled_conv3d(
     x: jnp.ndarray,
@@ -411,6 +419,7 @@ def tiled_conv3d(
     x_scale: Optional[jnp.ndarray] = None,
     out_scale: Optional[jnp.ndarray] = None,
     res_x_scale: Optional[jnp.ndarray] = None,
+    res_in_place: bool = False,
     relu_out: bool = False,
     tile_shape: Tuple[int, int, int] = (4, 4, 8),
     kernel_size: int = 3,
@@ -474,7 +483,7 @@ def tiled_conv3d(
     assert X % TX == 0 and Y % TY == 0 and Z % TZ == 0, (x.shape, tile_shape)
     assert TZ % 8 == 0, "z tile must be sublane-aligned"
     assert (scale is None) == (bias is None)
-    assert res_w is None or residual is not None
+    assert res_w is None or residual is not None or res_in_place
     assert (res_scale is None) == (res_bias is None)
     assert res_scale is None or res_w is not None
     n_tiles = tiles.shape[0]
@@ -483,8 +492,16 @@ def tiled_conv3d(
     n_steps = n_tiles // G
     TZe = zrun * TZ
     has_occ = occ is not None
-    has_res = residual is not None
+    has_res = residual is not None or res_in_place
     has_res_w = res_w is not None
+    if res_in_place:
+        # the residual IS the donated output buffer: the kernel reads each
+        # tile's region from `out` before overwriting it (single-use buffer
+        # => true aliasing, no copy-insertion, no zero fill)
+        assert residual is None and out is not None, \
+            "res_in_place reads the residual from the donated out buffer"
+        assert x_scale is None and out_scale is None, \
+            "res_in_place is a bf16/f32-path optimization" 
     cells_t = TX * TY * TZe
     occ_group = False
     if has_occ:
@@ -571,7 +588,11 @@ def tiled_conv3d(
         operands.append(occ.astype(jnp.float32))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     res_cp = 0
-    if has_res:
+    if res_in_place:
+        res_cp = cout_p
+        if has_res_w:
+            assert res_w.shape[0] <= cout_p
+    elif has_res:
         res_cp = residual.shape[-1]
         assert res_cp % 128 == 0, "residual grid needs 128-multiple lanes"
         if not has_res_w:
@@ -639,8 +660,9 @@ def tiled_conv3d(
                     else (2, G, cells_t // 128, 128))
         scratch.append(pltpu.VMEM(occ_vmem, jnp.float32))
     if has_res:
-        res_dt = jnp.int8 if res_is_int8 else (
-            x.dtype if not int8_in else jnp.bfloat16)
+        res_dt = out_dtype if res_in_place else (
+            jnp.int8 if res_is_int8 else (
+                x.dtype if not int8_in else jnp.bfloat16))
         scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, res_cp), res_dt))
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_in
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_out
@@ -656,6 +678,7 @@ def tiled_conv3d(
         has_occ=has_occ, has_res=has_res, has_res_w=has_res_w,
         res_cp=res_cp, relu_out=relu_out, ZR=zrun, occ_group=occ_group,
         int8_in=int8_in, out_q=out_q, has_res_deq=has_res_deq,
+        res_from_out=res_in_place,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
