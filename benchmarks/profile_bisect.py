@@ -54,7 +54,7 @@ def main():
         cap_multiple=8192, backbone="dense")
     args = pipe.prepare_scene(scene.points, scene.rgb)
     (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
-     tiles, run_spec, run_tiles) = args
+     tiles, run_spec, run_tiles, occ_packs) = args
     dm = pipe._dense_model
     variables = jax.jit(
         lambda r, f, fi, v: dm.init(r, f, fi, v, tuple(dense_dims), False,

@@ -55,7 +55,7 @@ def main():
     args = pipe.prepare_scene(scene.points, scene.rgb)
     t_prep = (time.perf_counter() - t0) * 1000
     (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
-     _tiles, _rs, _rt) = args
+     _tiles, _rs, _rt, _op) = args
     print(f"host prep {t_prep:.0f} ms | n={int(valid.sum())} cap={len(valid)} "
           f"dense_dims={dense_dims} grid_shape={grid_shape}")
 

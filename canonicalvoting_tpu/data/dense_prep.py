@@ -262,3 +262,53 @@ def level_tiles(coords: np.ndarray, base: np.ndarray,
             t = np.concatenate([t, np.repeat(t[-1:], pad, axis=0)], axis=0)
         out[key] = t
     return out
+
+
+def tile_plan_for_key(key: int):
+    """(tile_shape, group) plan for any tiles-dict key (level, stem,
+    transition, or dedicated-conv key)."""
+    if key == STEM_KEY:
+        return STEM_TILE_PLAN
+    if key in TRANS_TILE_PLAN:
+        return TRANS_TILE_PLAN[key]
+    if key >= CONV_KEY_OFF:
+        return CONV_TILE_PLAN[key - CONV_KEY_OFF]
+    return TILE_PLAN[key]
+
+
+def host_occ_levels(coords: np.ndarray, base: np.ndarray,
+                    dims: Tuple[int, int, int], levels: int = 5):
+    """Margined {0,1} float32 numpy occupancy grid per stride level.
+
+    Matches the model's device-side occupancy pyramid (scatter + strided
+    max-pool) exactly: level-l occupancy at cell c is 1 iff some input
+    voxel maps to c via floor-division by 2**l.
+    """
+    from canonicalvoting_tpu.ops.pallas.tiled_conv import MX, MY, MZ
+
+    c0 = coords[:, -3:].astype(np.int64) - base.astype(np.int64)
+    c0 = c0[np.all((c0 >= 0) & (c0 < np.asarray(dims)), axis=1)]
+    out = []
+    for lvl in range(levels):
+        d = tuple(int(x) >> lvl for x in dims)
+        g = np.zeros((d[0] + 2 * MX, d[1] + 2 * MY, d[2] + 2 * MZ),
+                     np.float32)
+        cl = c0 >> lvl
+        g[cl[:, 0] + MX, cl[:, 1] + MY, cl[:, 2] + MZ] = 1.0
+        out.append(g)
+    return out
+
+
+def host_occ_packs(coords: np.ndarray, base: np.ndarray,
+                   dims: Tuple[int, int, int], tiles, tile_runs=None,
+                   block: str = "basic"):
+    """Host (numpy) occupancy packs for the tiled backbone — the same
+    pytree DenseMinkUNet builds in-graph when occ_packs is None, moved to
+    scene prep where it overlaps device work (the in-graph pack transposes
+    cost ~7 ms/scene on TPU)."""
+    from canonicalvoting_tpu.models.dense_unet import build_occ_packs
+
+    occ_levels = host_occ_levels(coords, base, dims)
+    tsg = {k: tile_plan_for_key(k) for k in tiles}
+    return build_occ_packs(occ_levels, tiles, tsg, tile_runs=tile_runs,
+                           block=block, xp=np)

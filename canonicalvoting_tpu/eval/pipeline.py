@@ -96,6 +96,7 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
         from canonicalvoting_tpu.data.dense_prep import (
             dense_flat_ids,
             dense_grid_geometry,
+            host_occ_packs,
             level_tiles,
         )
 
@@ -105,6 +106,7 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
         tiles = None
         run_spec = ()
         run_tiles = None
+        occ_packs = None
         if conv_impl != "xla":
             # level_tiles now carries dedicated fine conv lists
             # (CONV_TILE_PLAN keys) — the z-run decomposition measured a
@@ -112,14 +114,18 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
             # longer generated here; assemble_runs stays for callers that
             # thread explicit runs
             tiles = level_tiles(coords, base, dense_dims)
+            # occupancy packs on the HOST: the in-graph pack transposes
+            # cost ~7 ms/scene on TPU; here they overlap device work
+            occ_packs = host_occ_packs(coords, base, dense_dims, tiles)
         # pre-stage on device: per-call numpy->device uploads through
         # the transfer path cost ~40-100 ms each (async here, so they
         # overlap host prep of the next scene)
-        feats, flat, valid, coords_w, tiles, run_tiles = jax.device_put(
-            (feats, flat, valid, coords_w, tiles, run_tiles)
-        )
+        feats, flat, valid, coords_w, tiles, run_tiles, occ_packs = \
+            jax.device_put(
+                (feats, flat, valid, coords_w, tiles, run_tiles, occ_packs)
+            )
         return ("dense", feats, flat, valid, coords_w, grid_shape,
-                dense_dims, tiles, run_spec, run_tiles)
+                dense_dims, tiles, run_spec, run_tiles, occ_packs)
 
     bcoords = batched_coordinates([coords])
     pyr = build_pyramid(
@@ -279,11 +285,13 @@ class DetectionPipeline:
             @functools.partial(jax.jit,
                                static_argnames=("dense_dims", "run_spec"))
             def backbone_fn(variables, feats, flat_idx, valid, dense_dims,
-                            tiles=None, run_spec=(), run_tiles=None):
+                            tiles=None, run_spec=(), run_tiles=None,
+                            occ_packs=None):
                 return dense_model.apply(
                     variables, feats, flat_idx, valid, dense_dims, False,
                     tiles=tiles,
                     tile_runs=assemble_runs(run_spec, run_tiles),
+                    occ_packs=occ_packs,
                 )
 
             return backbone_fn
@@ -322,10 +330,11 @@ class DetectionPipeline:
         kind = args[0]
         if kind == "dense":
             (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
-             tiles, run_spec, run_tiles) = args
+             tiles, run_spec, run_tiles, occ_packs) = args
             out = self._backbone_fn(
                 self.variables, feats, flat, valid, tuple(dense_dims),
                 tiles=tiles, run_spec=run_spec, run_tiles=run_tiles,
+                occ_packs=occ_packs,
             )
             return self._tail_fn(out, coords_w, valid, grid_shape)
         _, feats, pyramid, coords_w, grid_shape = args

@@ -164,12 +164,14 @@ class SeparateDetectionPipeline:
                            static_argnames=("dense_dims", "grid_shape",
                                             "run_spec"))
         def scene_fn(stacked_vars, feats, flat, valid, coords_w, dense_dims,
-                     grid_shape, tiles, run_spec=(), run_tiles=None):
+                     grid_shape, tiles, run_spec=(), run_tiles=None,
+                     occ_packs=None):
             def per_category(_, variables):
                 out = dense_model.apply(
                     variables, feats, flat, valid, dense_dims, False,
                     tiles=tiles,
                     tile_runs=assemble_runs(run_spec, run_tiles),
+                    occ_packs=occ_packs,
                 )
                 xyz, scale, prob = slice_separate_heads(out)
                 if log_scale:
@@ -198,11 +200,12 @@ class SeparateDetectionPipeline:
         """One device program covering all categories for one scene."""
         if args[0] == "dense":
             (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
-             tiles, run_spec, run_tiles) = args
+             tiles, run_spec, run_tiles, occ_packs) = args
             return self._scene_fn_dense(
                 self.stacked_variables, feats, flat, valid, coords_w,
                 tuple(dense_dims), grid_shape, tiles,
                 run_spec=run_spec, run_tiles=run_tiles,
+                occ_packs=occ_packs,
             )
         _, feats, pyramid, coords_w, grid_shape = args
         return self._scene_fn_sparse(

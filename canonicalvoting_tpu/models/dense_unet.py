@@ -516,6 +516,82 @@ class DenseBottleneck(nn.Module):
 _DENSE_BLOCKS = {"basic": DenseBasicBlock, "bottleneck": DenseBottleneck}
 
 
+
+def build_occ_packs(occ_levels, tiles, tsg, tile_runs=None, block="basic",
+                    xp=jnp):
+    """Packed per-tile occupancy for every tiled kernel, keyed like `tiles`.
+
+    occ_levels: margined (X, Y, Z) {0,1} occupancy arrays per stride level
+    (numpy or jax — `xp` selects the backend). Returns a dict with
+    "occp" (conv/stem group or plain packs), "occp_up" (tiled_up2
+    parity-major), "occp_up2" (tiled_up2_into DMA pack, CV_UP2V2 only) and
+    "conv_occ" (z-run pack lists). Computable on the HOST during scene
+    prep (the in-graph pack transposes cost ~7 ms/scene on TPU); the
+    device path calls it with xp=jnp as a fallback.
+    """
+    import os as _os
+
+    from canonicalvoting_tpu.data.dense_prep import (
+        CONV_KEY_OFF, STEM_KEY, TRANS_KEYS, TRANS_LEVEL)
+    from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+        pack_occ, pack_occ_group, pack_occ_parity, pack_occ_updma)
+
+    occp = {}
+    occp_up = {}
+    occp_up2 = {}
+    conv_occ = {}
+    up_keys = {TRANS_KEYS[k] for k in TRANS_KEYS if k[0] == "up"}
+    # v2 up kernel (tiled_up2_into, in-place [skip|conv] concat): wins in
+    # isolation (21.5 -> 17.8 ms at up0, bench_up2v2.py) but LOSES ~100 ms
+    # e2e (3.55 vs 5.53 scenes/s) — the donated skip grid defeats XLA's
+    # buffer reuse in the full graph and its consumers pay trace-time row
+    # permutes. Opt-in via CV_UP2V2=1; default is the old tiled_up2.
+    v2_keys = set()
+    if block == "basic" and _os.environ.get("CV_UP2V2"):
+        v2_keys = {TRANS_KEYS.get(("up", 0), 0), 1} & set(tiles)
+    for key, t in tiles.items():
+        # STEM_KEY (-1) packs L0 occupancy; TRANS keys (-2..) pack their
+        # TRANS_LEVEL; conv keys (CONV_KEY_OFF + lvl) use the group-major
+        # pack, which legalizes sub-128-cell tiles
+        if key >= CONV_KEY_OFF:
+            lvl = key - CONV_KEY_OFF
+        elif key in TRANS_LEVEL:
+            lvl = TRANS_LEVEL[key]
+        else:
+            lvl = max(key, 0)
+        ts, g = tsg[key]
+        if key in v2_keys and ts[2] % 16 == 0:
+            occp_up2[key] = pack_occ_updma(occ_levels[lvl], t, ts, g, xp=xp)
+            if key < 0:
+                continue  # dedicated v2 list serves nothing else
+        if key >= CONV_KEY_OFF or key == STEM_KEY:
+            # group-major pack legalizes sub-128-cell tiles (the fine conv
+            # plans and the (4, 2, 8) stem plan)
+            occp[key] = pack_occ_group(occ_levels[lvl], t, ts, group=g,
+                                       xp=xp)
+            continue
+        if key in up_keys:  # old tiled_up2 parity-major pack
+            occp_up[key] = pack_occ_parity(occ_levels[lvl], t, ts, xp=xp)
+            continue
+        occp[key] = pack_occ(occ_levels[lvl], t, ts, xp=xp)
+        if key >= 1 and key not in v2_keys and ts[2] % 16 == 0:
+            # usable by the old tiled_up2 (L2/L3 decoder ups)
+            occp_up[key] = pack_occ_parity(occ_levels[lvl], t, ts, xp=xp)
+        # the fused block kernel's expanded pack is intentionally absent:
+        # the block kernel measured slower than the two-conv path
+        # (benchmarks/bench_block.py) and is disabled
+    for key, lst in (tile_runs or {}).items():
+        if key not in tiles:
+            continue
+        lvl = max(key, 0)
+        conv_occ[key] = [
+            pack_occ(occ_levels[lvl], t, tsg[key][0], zrun=R, xp=xp)
+            for (R, _G, t) in lst
+        ]
+    return {"occp": occp, "occp_up": occp_up, "occp_up2": occp_up2,
+            "conv_occ": conv_occ}
+
+
 class DenseMinkUNet(nn.Module):
     """Dense-execution twin of models.minkunet.MinkUNetBase.
 
@@ -587,7 +663,8 @@ class DenseMinkUNet(nn.Module):
     @nn.compact
     def __call__(self, feats, flat_idx, valid, grid_dims: Tuple[int, int, int],
                  train: bool = False, bn_momentum=0.1, tiles=None,
-                 n_scenes: int = 1, tile_runs=None, calibrate: bool = False):
+                 n_scenes: int = 1, tile_runs=None, calibrate: bool = False,
+                 occ_packs=None):
         from canonicalvoting_tpu.data.dense_prep import (
             CONV_KEY_OFF, CONV_TILE_PLAN, STEM_KEY, STEM_TILE_PLAN,
             TILE_PLAN, TRANS_KEYS, TRANS_LEVEL, TRANS_TILE_PLAN)
@@ -661,67 +738,26 @@ class DenseMinkUNet(nn.Module):
         # fused block kernel a one-cell-expanded pack
         from canonicalvoting_tpu.data.dense_prep import BLOCK_GROUP
 
-        occp = {}
-        occp_up = {}
-        occp_up2 = {}
         occp_e = {}
         conv_tiles = {}   # k=3 conv tile source: z-run lists when available
-        conv_occ = {}
         if tiled:
-            from canonicalvoting_tpu.ops.pallas.tiled_conv import (
-                pack_occ, pack_occ_group, pack_occ_parity, pack_occ_updma)
-
-            up_keys = {TRANS_KEYS[k] for k in TRANS_KEYS if k[0] == "up"}
-            # v2 up kernel (tiled_up2_into, in-place [skip|conv] concat):
-            # wins in isolation (21.5 -> 17.8 ms at up0, bench_up2v2.py)
-            # but LOSES ~100 ms e2e (3.55 vs 5.53 scenes/s) — the donated
-            # skip grid defeats XLA's buffer reuse in the full graph and
-            # its consumers pay trace-time row permutes. Opt-in via
-            # CV_UP2V2=1 for further isolation work; default is the old
-            # tiled_up2 everywhere.
-            v2_keys = set()
-            import os as _os
-            if self.block == "basic" and _os.environ.get("CV_UP2V2"):
-                v2_keys = {TRANS_KEYS.get(("up", 0), 0), 1} & set(tiles)
-            for key, t in tiles.items():
-                # STEM_KEY (-1) packs L0 occupancy; TRANS keys (-2..) pack
-                # their TRANS_LEVEL; conv keys (CONV_KEY_OFF + lvl) use the
-                # group-major pack, which legalizes sub-128-cell tiles
-                if key >= CONV_KEY_OFF:
-                    lvl = key - CONV_KEY_OFF
-                elif key in TRANS_LEVEL:
-                    lvl = TRANS_LEVEL[key]
-                else:
-                    lvl = max(key, 0)
-                ts, g = tsg[key]
-                if key in v2_keys and ts[2] % 16 == 0:
-                    occp_up2[key] = pack_occ_updma(occ[lvl][0], t, ts, g)
-                    if key < 0:
-                        continue  # dedicated v2 list serves nothing else
-                if key >= CONV_KEY_OFF or key == STEM_KEY:
-                    # group-major pack legalizes sub-128-cell tiles (the
-                    # fine conv plans and the (4, 2, 8) stem plan)
-                    occp[key] = pack_occ_group(occ[lvl][0], t, ts, group=g)
-                    continue
-                if key in up_keys:  # old tiled_up2 parity-major pack
-                    occp_up[key] = pack_occ_parity(occ[lvl][0], t, ts)
-                    continue
-                occp[key] = pack_occ(occ[lvl][0], t, ts)
-                if key >= 1 and key not in v2_keys and ts[2] % 16 == 0:
-                    # usable by the old tiled_up2 (L2/L3 decoder ups)
-                    occp_up[key] = pack_occ_parity(occ[lvl][0], t, ts)
-                # occp_e (fused block kernel) intentionally not packed:
-                # the block kernel measured slower than the two-conv path
-                # (benchmarks/bench_block.py) and is disabled
             for key, lst in (tile_runs or {}).items():
-                if key not in tiles:
-                    continue
-                lvl = max(key, 0)
-                conv_tiles[key] = lst
-                conv_occ[key] = [
-                    pack_occ(occ[lvl][0], t, tsg[key][0], zrun=R)
-                    for (R, _G, t) in lst
-                ]
+                if key in tiles:
+                    conv_tiles[key] = lst
+            if occ_packs is None:
+                # device-side packing (CPU/interpret paths and tests);
+                # serving pipelines precompute these on the HOST instead
+                # (eval.pipeline.prepare_scene_args) — the in-graph pack
+                # transposes cost ~7 ms/scene on TPU
+                occ_packs = build_occ_packs(
+                    [o[0] for o in occ], tiles, tsg, tile_runs=tile_runs,
+                    block=self.block)
+            occp = occ_packs["occp"]
+            occp_up = occ_packs["occp_up"]
+            occp_up2 = occ_packs["occp_up2"]
+            conv_occ = occ_packs["conv_occ"]
+        else:
+            occp, occp_up, occp_up2, conv_occ = {}, {}, {}, {}
 
         def conv_sel(lvl):
             """(tiles, (ts, group), occ) for a level's k=3 block convs:

@@ -712,8 +712,8 @@ def occupied_tiles(coords_or_flat, dims, tile_shape=(4, 4, 8),
     return t
 
 
-def pack_occ(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
-             tile_shape=(4, 4, 8), zrun: int = 1) -> jnp.ndarray:
+def pack_occ(occ_grid, tiles, tile_shape=(4, 4, 8), zrun: int = 1,
+             xp=jnp):
     """Device helper: gather per-tile occupancy as (T, cells/128, 128) f32
     from a MARGINED (Xm, Ym, Zm) occupancy grid (the packing keeps the DMA
     lane dim a 128 multiple). With ``zrun`` = R, each tile entry covers R
@@ -723,20 +723,19 @@ def pack_occ(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
                  MZ:occ_grid.shape[2] - MZ]
     X, Y, Z = o.shape
     o = o.reshape(X // TX, TX, Y // TY, TY, Z // TZ, TZ)
-    o = jnp.transpose(o, (0, 2, 4, 1, 3, 5))  # (ntx, nty, ntz, TX, TY, TZ)
+    o = xp.transpose(o, (0, 2, 4, 1, 3, 5))  # (ntx, nty, ntz, TX, TY, TZ)
     if zrun == 1:
         g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, TX, TY, TZ)
     else:
         parts = [o[tiles[:, 0], tiles[:, 1], tiles[:, 2] + r]
                  for r in range(zrun)]
-        g = jnp.stack(parts, axis=3)          # (T, TX, TY, R, TZ)
+        g = xp.stack(parts, axis=3)           # (T, TX, TY, R, TZ)
     return g.reshape(tiles.shape[0], (TX * TY * zrun * TZ) // 128,
-                     128).astype(jnp.float32)
+                     128).astype(np.float32)
 
 
-def pack_occ_group(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
-                   tile_shape=(4, 4, 8), group: int = 16,
-                   zrun: int = 1) -> jnp.ndarray:
+def pack_occ_group(occ_grid, tiles, tile_shape=(4, 4, 8), group: int = 16,
+                   zrun: int = 1, xp=jnp):
     """Group-major occupancy pack: (n_steps, G*cells/128, 128) f32.
 
     Rows within a step are laid out in the conv kernel's row order
@@ -754,16 +753,16 @@ def pack_occ_group(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
                  MZ:occ_grid.shape[2] - MZ]
     X, Y, Z = o.shape
     o = o.reshape(X // TX, TX, Y // TY, TY, Z // TZ, TZ)
-    o = jnp.transpose(o, (0, 2, 4, 1, 3, 5))  # (ntx, nty, ntz, TX, TY, TZ)
+    o = xp.transpose(o, (0, 2, 4, 1, 3, 5))  # (ntx, nty, ntz, TX, TY, TZ)
     if zrun == 1:
         g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, TX, TY, TZ)
     else:
         parts = [o[tiles[:, 0], tiles[:, 1], tiles[:, 2] + r]
                  for r in range(zrun)]
-        g = jnp.stack(parts, axis=3)          # (T, TX, TY, R, TZ)
+        g = xp.stack(parts, axis=3)           # (T, TX, TY, R, TZ)
     g = g.reshape(T // G, G, TX, TY * TZe)
-    g = jnp.transpose(g, (0, 2, 1, 3))        # (steps, TX, G, TY*TZe)
-    return g.reshape(T // G, (G * cells) // 128, 128).astype(jnp.float32)
+    g = xp.transpose(g, (0, 2, 1, 3))         # (steps, TX, G, TY*TZe)
+    return g.reshape(T // G, (G * cells) // 128, 128).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -1570,8 +1569,7 @@ def _up2_kernel(txs_ref, tys_ref, tzs_ref, *args,
                 out_dma(nxt, t - 1, g).wait()
 
 
-def pack_occ_parity(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
-                    tile_shape) -> jnp.ndarray:
+def pack_occ_parity(occ_grid, tiles, tile_shape, xp=jnp):
     """Per-tile occupancy for tiled_up2, parity-major: entry [t] is the
     8 * cells/8 occupancies ordered (dz, dy, dx)-parity major, (xc, yc, zc)
     within, packed as (T, cells/128, 128) f32."""
@@ -1582,10 +1580,10 @@ def pack_occ_parity(occ_grid: jnp.ndarray, tiles: jnp.ndarray,
     o = o.reshape(X // TX, TX // 2, 2, Y // TY, TY // 2, 2, Z // TZ,
                   TZ // 2, 2)
     # -> (ntx, nty, ntz, dz, dy, dx, xc, yc, zc)
-    o = jnp.transpose(o, (0, 3, 6, 8, 5, 2, 1, 4, 7))
+    o = xp.transpose(o, (0, 3, 6, 8, 5, 2, 1, 4, 7))
     g = o[tiles[:, 0], tiles[:, 1], tiles[:, 2]]
     return g.reshape(tiles.shape[0], (TX * TY * TZ) // 128,
-                     128).astype(jnp.float32)
+                     128).astype(np.float32)
 
 
 @functools.partial(
@@ -1728,8 +1726,7 @@ def tiled_up2(
     return out.reshape(Xf, Yf, Zf, out_lanes)
 
 
-def pack_occ_updma(occ_grid: jnp.ndarray, tiles: jnp.ndarray, tile_shape,
-                   group: int) -> jnp.ndarray:
+def pack_occ_updma(occ_grid, tiles, tile_shape, group: int, xp=jnp):
     """Per-step occupancy for tiled_up2_into, coarse-cell-row-major.
 
     Entry [s, row, d] (row = (xc, g, yc, zc) — the kernel's parent-matmul
@@ -1747,18 +1744,18 @@ def pack_occ_updma(occ_grid: jnp.ndarray, tiles: jnp.ndarray, tile_shape,
     # per-parity stride-2 slices (cheap XLA lowering; a 9-axis transpose
     # with three size-2 minor axes compiles to an element-copy crawl):
     # o8[x, y, z, d] = occ[2x + dx, 2y + dy, 2z + dz]
-    o8 = jnp.stack(
+    o8 = xp.stack(
         [o[dx::2, dy::2, dz::2]
          for dx in range(2) for dy in range(2) for dz in range(2)],
         axis=-1)                                   # (X/2, Y/2, Z/2, 8)
     o8 = o8.reshape(X // TX, HX, Y // TY, HY, Z // TZ, HZ, 8)
-    o8 = jnp.transpose(o8, (0, 2, 4, 1, 3, 5, 6))
+    o8 = xp.transpose(o8, (0, 2, 4, 1, 3, 5, 6))
     g = o8[tiles[:, 0], tiles[:, 1], tiles[:, 2]]  # (T, HX, HY, HZ, 8)
     T = tiles.shape[0]
     g = g.reshape(T // group, group, HX, HY, HZ, 8)
-    g = jnp.transpose(g, (0, 2, 1, 3, 4, 5))
+    g = xp.transpose(g, (0, 2, 1, 3, 4, 5))
     g = g.reshape(T // group, group * HX * HY * HZ, 8)
-    g = jnp.pad(g, ((0, 0), (0, 0), (0, 120)))
+    g = xp.pad(g, ((0, 0), (0, 0), (0, 120)))
     return g.astype(jnp.bfloat16)
 
 
