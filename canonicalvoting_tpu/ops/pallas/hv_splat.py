@@ -78,6 +78,16 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
     colz = jax.lax.broadcasted_iota(jnp.int32, (C, gz), 1).astype(jnp.float32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
 
+    # per-rotation constants as (1, RP) lane vectors (f32 t*dtheta trig,
+    # identical to the previous per-rotation scalar math)
+    RP = 128
+    assert n_rot_steps * Rc <= RP, "num_rots > 128 unsupported"
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, RP), 1)
+    thetas = t_iota.astype(jnp.float32) * dtheta
+    cosv = jnp.cos(thetas)
+    sinv = jnp.sin(thetas)
+    rot_ok = (t_iota < num_rots).astype(jnp.float32)  # (1, RP)
+
     def chunk_body(ci, _):
         row0 = start + ci * C
         cp = pltpu.make_async_copy(
@@ -100,30 +110,38 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
         base0 = obj * (1.0 - wy1) * row_ok  # own (floor) plane
         base1 = obj * wy1 * row_ok          # spill to plane j+1
 
-        def rot_step(ti, _):
+        # ALL-rotation precompute, full-lane batched: the per-rotation
+        # (C, 1) op chain (rotate, bounds test, weight) used 1/128 of the
+        # VPU lanes and dominated the kernel (~0.27 ms/rotation measured;
+        # grid width barely mattered). One (C, RP) pass replaces 120
+        # serial chains; the unrolled loop below only slices lanes and
+        # builds tents.
+        ux_all = px - corx * cosv + corz * sinv          # (C, RP)
+        uz_all = pz - corx * sinv - corz * cosv
+        ok_all = (
+            (ux_all >= 0.0) & (ux_all < dims_x - 1.0)
+            & (uz_all >= 0.0) & (uz_all < dims_z - 1.0)
+        ).astype(jnp.float32) * rot_ok                    # (C, RP)
+        b0_all = base0 * ok_all
+        b1_all = base1 * ok_all
+
+        # rotations fully unrolled: `t` is a python int, so the lane
+        # slices below are static and the trig above is shared
+        for ti in range(n_rot_steps):
             a_parts = []
             c_parts = []
             for r in range(Rc):
                 t = ti * Rc + r
-                theta = t.astype(jnp.float32) * dtheta
-                c = jnp.cos(theta)
-                s = jnp.sin(theta)
-                ux = px - c * corx + s * corz     # (C, 1)
-                uz = pz - s * corx - c * corz
-                ok = (
-                    (ux >= 0.0) & (ux < dims_x - 1.0)
-                    & (uz >= 0.0) & (uz < dims_z - 1.0)
-                ).astype(jnp.float32)
-                if num_rots % Rc:
-                    ok = ok * (t < num_rots).astype(jnp.float32)
+                ux = ux_all[:, t:t + 1]           # (C, 1) static lane slice
+                uz = uz_all[:, t:t + 1]
 
                 # bilinear tents: max(0, 1 - |col - u|) hits exactly the
                 # floor/ceil cells with weights (1 - frac, frac)
                 ax = jnp.maximum(1.0 - jnp.abs(colx - ux), 0.0)  # (C, gx)
                 czr = jnp.maximum(1.0 - jnp.abs(colz - uz), 0.0)  # (C, gz)
 
-                b0 = base0 * ok  # (C, 1)
-                b1 = base1 * ok
+                b0 = b0_all[:, t:t + 1]  # (C, 1)
+                b1 = b1_all[:, t:t + 1]
                 axb = ax.astype(jnp.bfloat16)
                 if channels == 1:
                     # obj-only fast path (see hough_voting_obj)
@@ -134,6 +152,8 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
                 else:
                     # channels: [obj, obj*cos, obj*sin, obj*sx, obj*sy,
                     # obj*sz], own plane then spill plane
+                    c = cosv[:, t:t + 1]  # (1, 1)
+                    s = sinv[:, t:t + 1]
                     a2r = jnp.concatenate(
                         [
                             (b0 * 1.0).astype(jnp.bfloat16) * axb,
@@ -162,9 +182,6 @@ def _kernel(starts_ref, ends_ref, dims_ref, data_hbm, out_ref, pt_ref, sem,
                 preferred_element_type=jnp.float32,
             )  # (2*ch*gx, gz)
             out_ref[0] += update
-            return 0
-
-        jax.lax.fori_loop(0, n_rot_steps, rot_step, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -262,6 +279,10 @@ def hv_splat_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((gy, 2 * channels * gx, gz),
                                        jnp.float32),
+        # the unrolled rotation loop keeps more buffers live than the
+        # default 16M scoped-vmem stack allows at some grid shapes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(starts, ends, dims_xz, data)
 
