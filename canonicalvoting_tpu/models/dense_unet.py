@@ -628,7 +628,7 @@ class DenseMinkUNet(nn.Module):
     def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
                 tiles=None, ts_group=None, occp=None, occe=None,
                 block_group=None, in_perm=None, quantize=False,
-                calibrate=False):
+                calibrate=False, donate_first=None):
         blk = _DENSE_BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
@@ -640,7 +640,10 @@ class DenseMinkUNet(nn.Module):
             # init/apply see the same tree whether or not this call runs the
             # tiled path; runtime int8 behavior is gated by `quantize`
             bkw = dict(quantize=self.quantize)
-        c1_buf = [None]
+        # seed the conv1-reuse slot with a DEAD same-shape grid from the
+        # caller (e.g. the up's consumed skip) so even the stack's first
+        # conv1 skips its full-grid zero fill
+        c1_buf = [donate_first]
         for j in range(n_blocks):
             if blk is DenseBasicBlock:
                 # only the group's first block sees the up kernel's
@@ -722,6 +725,12 @@ class DenseMinkUNet(nn.Module):
             1.0, mode="drop"
         )
         x = dense.reshape(B, dxm, dym, dzm, scat_c)
+        # the scatter grid dies after the stem reads it, and — being zero
+        # everywhere outside occupied cells — it is a valid donated output
+        # for a later L0-grid-producing kernel (skips one ~3 ms full-grid
+        # zero fill); claimed by the decoder's up-into-L0 below
+        scat_donor = x if (stem_tiled and not stem_prefold
+                           and scat_c == 128) else None
         # margined occupancy pyramid as (1, X, Y, Z) — a trailing size-1
         # channel dim would be lane-padded 128x physically; broadcasts at
         # the use sites fuse and never materialize
@@ -854,6 +863,7 @@ class DenseMinkUNet(nn.Module):
             # 128-lane block and keep the old tiled_up2.
             v2_key = TRANS_KEYS.get(("up", lvl), lvl)
             in_perm = None
+            donate_first = None
             up_key = TRANS_KEYS.get(("up", lvl), lvl)
             if up_key not in occp_up:
                 up_key = lvl
@@ -885,6 +895,9 @@ class DenseMinkUNet(nn.Module):
                 wu = up(None, return_kernel=True)
                 a, b = bn(None, None, False, return_affine=True)
                 ts, g = tsg[up_key]
+                up_out = scat_donor[0] if (lvl == 0
+                                           and scat_donor is not None
+                                           and not interp) else None
                 x = tiled_up2(
                     pad_lanes(x[0].astype(dt_j), _lanes(ch)),
                     wu.astype(dt_j), tiles[up_key], scale=a, bias=b,
@@ -892,7 +905,10 @@ class DenseMinkUNet(nn.Module):
                     skip=pad_lanes(skip[0].astype(dt_j),
                                    _lanes(skip.shape[-1])),
                     skip_c=skip_chs[lvl], relu_out=True, tile_shape=ts,
-                    group=g, interpret=interp)[None]
+                    group=g, out=up_out, interpret=interp)[None]
+                # the skip grid dies with the up's fused concat read —
+                # seed the level's first block conv with it (donated out)
+                donate_first = skip
             else:
                 x = up(x)
                 x = x * occ[lvl][..., None]
@@ -908,7 +924,8 @@ class DenseMinkUNet(nn.Module):
                 train, mom, tiles=ct, ts_group=cts, occp=cocc,
                 occe=occp_e.get(lvl),
                 block_group=BLOCK_GROUP.get(lvl), in_perm=in_perm,
-                quantize=quant, calibrate=calibrate)
+                quantize=quant, calibrate=calibrate,
+                donate_first=donate_first)
 
         # gather the point rows FIRST, then apply the 1x1 head to just those
         # rows — the head on the full grid would be a (n_cells, ch) matmul

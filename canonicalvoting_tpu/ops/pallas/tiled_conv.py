@@ -157,10 +157,12 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     def res_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
         # res_from_out: the residual lives in the ALIASED output buffer
-        # (tiled_conv3d's out=residual). Safe: this tile's region is read
-        # here before its out_dma write, and every other in-flight write
-        # targets a different tile (unique tile list), so regions never
-        # overlap across pipeline slots.
+        # (tiled_conv3d's out=residual). Safe for UNIQUE entries: this
+        # tile's region is read here before its out_dma write, and every
+        # other in-flight write targets a different tile. Tile lists are
+        # padded by REPEATING the last tile, though — a padding duplicate
+        # would read the region the first copy's in-flight write targets
+        # (residual double-add), so duplicates skip both DMAs (is_pad_dup).
         src = out_ref if res_from_out else res_hbm
         return pltpu.make_async_copy(
             src.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
@@ -168,11 +170,40 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
             res_tile.at[slot, :, g], sem_res.at[slot, g],
         )
 
+    def is_pad_dup(step, g):
+        # padding repeats the LAST real tile, so a consecutive-equal entry
+        # is a pad duplicate (real lists are np.unique'd: unique + sorted)
+        i = step * G + g
+        j = jnp.maximum(i - 1, 0)
+        same = jnp.logical_and(
+            txs_ref[i] == txs_ref[j],
+            jnp.logical_and(tys_ref[i] == tys_ref[j],
+                            tzs_ref[i] == tzs_ref[j]))
+        return jnp.logical_and(i > 0, same)
+
+    def res_start(slot, step, g):
+        if not res_from_out:
+            res_dma(slot, step, g).start()
+            return
+
+        @pl.when(jnp.logical_not(is_pad_dup(step, g)))
+        def _():
+            res_dma(slot, step, g).start()
+
+    def res_wait(slot, step, g):
+        if not res_from_out:
+            res_dma(slot, step, g).wait()
+            return
+
+        @pl.when(jnp.logical_not(is_pad_dup(step, g)))
+        def _():
+            res_dma(slot, step, g).wait()
+
     def start_in(slot, step):
         for g in range(G):
             in_dma(slot, step, g).start()
             if has_res:
-                res_dma(slot, step, g).start()
+                res_start(slot, step, g)
         if has_occ:
             occ_dma(slot, step).start()
 
@@ -184,6 +215,24 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
                        pl.ds(tz + MZ, TZe), :],
             sem_out.at[slot, g],
         )
+
+    def out_start(slot, step, g):
+        if not res_from_out:
+            out_dma(slot, step, g).start()
+            return
+
+        @pl.when(jnp.logical_not(is_pad_dup(step, g)))
+        def _():
+            out_dma(slot, step, g).start()
+
+    def out_wait(slot, step, g):
+        if not res_from_out:
+            out_dma(slot, step, g).wait()
+            return
+
+        @pl.when(jnp.logical_not(is_pad_dup(step, g)))
+        def _():
+            out_dma(slot, step, g).wait()
 
     slot = jax.lax.rem(t, 2)
     nxt = jax.lax.rem(t + 1, 2)
@@ -199,7 +248,7 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     for g in range(G):
         in_dma(slot, t, g).wait()
         if has_res:
-            res_dma(slot, t, g).wait()
+            res_wait(slot, t, g)
     if has_occ:
         occ_dma(slot, t).wait()
 
@@ -207,7 +256,7 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     @pl.when(t >= 2)
     def _():
         for g in range(G):
-            out_dma(slot, t - 2, g).wait()
+            out_wait(slot, t - 2, g)
 
     cells = TX * TY * TZe
     rows = G * cells
@@ -322,14 +371,14 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZe, cout)
 
     for g in range(G):
-        out_dma(slot, t, g).start()
+        out_start(slot, t, g)
 
     @pl.when(t == n_steps - 1)
     def _():
         for g in range(G):
-            out_dma(slot, t, g).wait()
+            out_wait(slot, t, g)
             if n_steps >= 2:
-                out_dma(nxt, t - 1, g).wait()
+                out_wait(nxt, t - 1, g)
 
 
 def fold_dydz(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -1148,7 +1197,7 @@ def tiled_block3d(
 
 def _down2_kernel(txs_ref, tys_ref, tzs_ref, *args,
                   TX, TY, TZ, cin_p, cout, n_steps, G, NTY, NTZ, out_dtype,
-                  has_affine, has_occ, relu_out):
+                  has_affine, has_occ, relu_out, pair_dma):
     TZe = TZ  # no z-run support in the down kernel
     it = iter(args)
     x_hbm = next(it)        # margined FINE grid
@@ -1175,12 +1224,23 @@ def _down2_kernel(txs_ref, tys_ref, tzs_ref, *args,
 
     def in_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
-        # x_hbm is the fine grid's z-PAIR view: one fine z-pair per coarse
-        # cell, so the window's pair extent is exactly TZ and its offset
-        # tz + MZ/2 stays 8-aligned
+        # one fine z-pair per coarse cell: the window's pair extent is
+        # exactly TZ and its offset tz + MZ/2 stays 8-aligned
+        if pair_dma:
+            # TPU path: x_hbm is the UNFOLDED fine grid; its z-pair view
+            # is a row-major reshape of the REF — (z, c) is contiguous, so
+            # the merged-lane (z/2, 2c) view reads the same bytes and the
+            # z-pair fold that used to be a full-grid XLA relayout (~7 ms
+            # at L0) costs nothing
+            Xm, Ym, Zm, _ = x_hbm.shape
+            xv = x_hbm.reshape(Xm, Ym, Zm // 2, 2 * cin_p)
+        else:
+            # interpret path (reshaped-ref DMAs unsupported there): x_hbm
+            # arrives as the materialized z-PAIR view
+            xv = x_hbm
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(2 * tx + MX, 2 * TX), pl.ds(2 * ty + MY, 2 * TY),
-                     pl.ds(tz + MZ // 2, TZ), :],
+            xv.at[pl.ds(2 * tx + MX, 2 * TX), pl.ds(2 * ty + MY, 2 * TY),
+                  pl.ds(tz + MZ // 2, TZ), :],
             in_tile.at[slot, :, g], sem_in.at[slot, g],
         )
 
@@ -1331,7 +1391,13 @@ def tiled_down2(
     # (8, cin, cout) -> (8*cin_p, cout_p), row blocks (d, c)
     wf = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
     wf = wf.reshape(8 * cin_p, cout_p).astype(x.dtype)[None]
-    x = x.reshape(Xm, Ym, Zm // 2, 2 * cp)  # free z-pair view
+    # TPU: the kernel folds z-pairs in the DMA engine (per-parity copies
+    # through a reshaped ref view) — the full-grid XLA z-pair relayout
+    # this reshape costs (~7 ms at L0) only remains on the interpret path,
+    # where reshaped-ref DMAs are unsupported
+    pair_dma = not interpret
+    if not pair_dma:
+        x = x.reshape(Xm, Ym, Zm // 2, 2 * cp)  # z-pair view
     out0 = jnp.zeros((X + 2 * MX, Y + 2 * MY, Z + 2 * MZ, cout_p), x.dtype)
 
     NTY, NTZ = Y // TY, Z // TZ
@@ -1375,6 +1441,7 @@ def tiled_down2(
         _down2_kernel, TX=TX, TY=TY, TZ=TZ, cin_p=cin_p, cout=cout_p,
         n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
         has_affine=has_affine, has_occ=has_occ, relu_out=relu_out,
+        pair_dma=pair_dma,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1397,7 +1464,7 @@ def tiled_down2(
 def _up2_kernel(txs_ref, tys_ref, tzs_ref, *args,
                 TX, TY, TZ, cin_p, cout, cout_r, out_lanes, skip_c, skl,
                 n_steps, G, NTY, NTZ, out_dtype, has_affine, has_occ,
-                has_skip, relu_out):
+                has_skip, relu_out, pair_dma):
     it = iter(args)
     x_hbm = next(it)        # margined COARSE grid (plain view)
     w_ref = next(it)        # (8, cin_p, cout)
@@ -1447,9 +1514,20 @@ def _up2_kernel(txs_ref, tys_ref, tzs_ref, *args,
     def skip_dma(slot, step, g):
         tx, ty, tz = txyz(step, g)
         _, _, tzh = txyz_half(step, g)
+        if pair_dma:
+            # TPU path: skip_hbm is the UNFOLDED fine grid; its z-pair
+            # view is a free row-major ref reshape ((z, c) is contiguous),
+            # so the fold that used to be a full-grid XLA relayout
+            # (~3 ms at L0) costs nothing
+            Xs, Ys, Zs, _ = skip_hbm.shape
+            sv = skip_hbm.reshape(Xs, Ys, Zs // 2, 2 * skl)
+        else:
+            # interpret path: skip_hbm arrives as the materialized z-PAIR
+            # view (reshaped-ref DMAs unsupported there)
+            sv = skip_hbm
         return pltpu.make_async_copy(
-            skip_hbm.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
-                        pl.ds(tzh + MZ // 2, HZ), :],
+            sv.at[pl.ds(tx + MX, TX), pl.ds(ty + MY, TY),
+                  pl.ds(tzh + MZ // 2, HZ), :],
             skip_tile.at[slot, :, g], sem_skip.at[slot, g],
         )
 
@@ -1464,13 +1542,22 @@ def _up2_kernel(txs_ref, tys_ref, tzs_ref, *args,
     def out_dma(slot, step, g):
         txh, tyh, tzh = txyz_half(step, g)
         # 6D pair view dest: (x-pair, dx, y-pair, dy, z-pair, (dz, c)) in
-        # row-major IS the 4D fine grid; interior starts are even in x/y and
-        # the z-pair offset tzh + MZ/2 is 8-aligned
+        # row-major IS the 4D fine grid; interior starts are even in x/y
+        # and the z-pair offset tzh + MZ/2 is 8-aligned. On TPU the view
+        # comes from a free ref reshape of the UNFOLDED out grid (kills
+        # the ~7 ms full-grid XLA unfold at L0); interpret gets the
+        # materialized 6D view.
+        if pair_dma:
+            Xf, Yf, Zf, _ = out_ref.shape
+            ov = out_ref.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2,
+                                 2 * out_lanes)
+        else:
+            ov = out_ref
         return pltpu.make_async_copy(
             acc.at[slot, :, :, g],
-            out_ref.at[pl.ds(txh + MX // 2, HX), :,
-                       pl.ds(tyh + MY // 2, HY), :,
-                       pl.ds(tzh + MZ // 2, HZ), :],
+            ov.at[pl.ds(txh + MX // 2, HX), :,
+                  pl.ds(tyh + MY // 2, HY), :,
+                  pl.ds(tzh + MZ // 2, HZ), :],
             sem_out.at[slot, g],
         )
 
@@ -1604,6 +1691,7 @@ def tiled_up2(
     relu_out: bool = False,
     tile_shape: Tuple[int, int, int] = (8, 8, 32),
     group: int = 2,
+    out: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Transposed stride-2 k=2 conv over occupied FINE tiles, with fused
@@ -1646,10 +1734,22 @@ def tiled_up2(
     wf = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
     wf = wf.astype(x.dtype)
     Xf, Yf, Zf = X + 2 * MX, Y + 2 * MY, Z + 2 * MZ
-    out0 = jnp.zeros((Xf, Yf, Zf, out_lanes), x.dtype)
-    # full pair (6D) view: row-major (x-pair, dx, y-pair, dy, z-pair,
-    # (dz, c)) is bit-identical to the 4D fine grid
-    out6 = out0.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2, 2 * out_lanes)
+    # TPU: z-pair fold/unfold rides the DMA engine through reshaped ref
+    # views (see _up2_kernel.out_dmas/skip_dmas); the full-grid XLA pair
+    # relayouts (~10 ms at L0: output unfold + skip fold) only remain on
+    # the interpret path. `out` optionally donates a DEAD same-shape grid
+    # (zero outside this tile list's coverage) to skip the full-grid
+    # zero fill, as tiled_conv3d does.
+    pair_dma = not interpret
+    if out is not None and out.shape == (Xf, Yf, Zf, out_lanes) \
+            and out.dtype == x.dtype and pair_dma:
+        out0 = out
+    else:
+        out0 = jnp.zeros((Xf, Yf, Zf, out_lanes), x.dtype)
+    if not pair_dma:
+        # full pair (6D) view: row-major (x-pair, dx, y-pair, dy, z-pair,
+        # (dz, c)) is bit-identical to the 4D fine grid
+        out0 = out0.reshape(Xf // 2, 2, Yf // 2, 2, Zf // 2, 2 * out_lanes)
 
     NTY, NTZ = Y // TY, Z // TZ
     txs = tiles[:, 0].astype(jnp.int32)
@@ -1676,10 +1776,12 @@ def tiled_up2(
         assert skip.shape[:3] == (Xf, Yf, Zf)
         skl = skip.shape[-1]
         assert skl % 128 == 0 and skip_c <= skl
-        skip2 = skip.astype(x.dtype).reshape(Xf, Yf, Zf // 2, 2 * skl)
+        skip2 = skip.astype(x.dtype)
+        if not pair_dma:
+            skip2 = skip2.reshape(Xf, Yf, Zf // 2, 2 * skl)
         operands.append(skip2)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-    operands.append(out6)
+    operands.append(out0)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     zeros_index = len(operands) - 1
 
@@ -1705,7 +1807,7 @@ def tiled_up2(
         cout_r=cout, out_lanes=out_lanes, skip_c=skip_c, skl=skl,
         n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
         has_affine=has_affine, has_occ=has_occ, has_skip=has_skip,
-        relu_out=relu_out,
+        relu_out=relu_out, pair_dma=pair_dma,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1714,16 +1816,18 @@ def tiled_up2(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(out6.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(out0.shape, x.dtype),
         input_output_aliases={zeros_index: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-    return out.reshape(Xf, Yf, Zf, out_lanes)
+    if not pair_dma:
+        return res.reshape(Xf, Yf, Zf, out_lanes)
+    return res
 
 
 def pack_occ_updma(occ_grid, tiles, tile_shape, group: int, xp=jnp):
