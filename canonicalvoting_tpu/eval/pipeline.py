@@ -16,6 +16,7 @@ arrays once per scene.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -114,6 +115,22 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
             # longer generated here; assemble_runs stays for callers that
             # thread explicit runs
             tiles = level_tiles(coords, base, dense_dims)
+            # CV_XLA_LEVELS="3,4": drop these levels' tile lists so the
+            # model falls back to the masked-dense XLA conv there — at the
+            # deepest levels the tiled kernels' per-call launch cost
+            # exceeds the tiny grids' full-dense compute (bench A/B knob)
+            drop = os.environ.get("CV_XLA_LEVELS", "")
+            if drop:
+                from canonicalvoting_tpu.data.dense_prep import (
+                    CONV_KEY_OFF, TRANS_KEYS)
+
+                lvls = {int(s) for s in drop.split(",") if s}
+                down_keys = {TRANS_KEYS.get(("down", lv), lv)
+                             for lv in lvls}
+                up_keys = {TRANS_KEYS.get(("up", lv), lv) for lv in lvls}
+                dead = lvls | {CONV_KEY_OFF + lv for lv in lvls} \
+                    | down_keys | up_keys
+                tiles = {k: v for k, v in tiles.items() if k not in dead}
             # occupancy packs on the HOST: the in-graph pack transposes
             # cost ~7 ms/scene on TPU; here they overlap device work
             occ_packs = host_occ_packs(coords, base, dense_dims, tiles)

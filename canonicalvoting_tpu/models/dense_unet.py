@@ -160,7 +160,8 @@ class DenseConv(nn.Module):
                  occ=None, residual=None, res_w=None, res_scale=None,
                  res_bias=None, relu_out: bool = False, rows: bool = False,
                  return_kernel: bool = False, in_perm=None,
-                 prefold: bool = False, x_scale=None, res_x_scale=None,
+                 prefold: bool = False, replicated: bool = False,
+                 x_scale=None, res_x_scale=None,
                  quant_out: bool = False, calibrate: bool = False,
                  donate=None):
         k = self.kernel_size
@@ -271,7 +272,7 @@ class DenseConv(nn.Module):
                     x_scale=x_scale, out_scale=out_scale,
                     res_x_scale=res_x_scale, res_in_place=res_ip,
                     relu_out=relu_out, tile_shape=ts, group=Gr, zrun=R,
-                    out=outbuf, prefolded=prefold,
+                    out=outbuf, prefolded=prefold, replicated=replicated,
                     interpret=(self.conv_impl == "tiled_interpret"),
                 )
             if calibrate:
@@ -718,9 +719,20 @@ class DenseMinkUNet(nn.Module):
         # no 128-lane zero-init and 42x fewer stem window bytes.
         scat_c = _lanes(self.in_channels) \
             if (stem_tiled and not stem_prefold) else self.in_channels
+        # replicated stem lanes: when the k^2 (dz, dy) tap blocks fit one
+        # 128-lane operand, store each cell's Cin channels at EVERY tap
+        # offset (scatter rows are 128-lane either way) — the stem fold's
+        # 25 lane-block stores then become rotation-free masked moves
+        # (tiled_conv3d replicated=True), which were its dominant cost
+        ksq = self.stem_kernel * self.stem_kernel
+        stem_rep = (stem_tiled and not stem_prefold
+                    and ksq * self.in_channels <= scat_c)
+        scat_rows = frows.astype(in_dt)
+        if stem_rep:
+            scat_rows = jnp.tile(scat_rows, (1, ksq))
         dense = jnp.zeros((B * n_cells, scat_c), in_dt)
         dense = dense.at[safe_idx].set(
-            pad_lanes(frows.astype(in_dt), scat_c), mode="drop")
+            pad_lanes(scat_rows, scat_c), mode="drop")
         occ0_flat = jnp.zeros((B * n_cells,), jnp.float32).at[safe_idx].set(
             1.0, mode="drop"
         )
@@ -792,7 +804,7 @@ class DenseMinkUNet(nn.Module):
             a0, b0 = bn0(None, None, False, return_affine=True)
             out_p1 = stem(x, tiles[STEM_KEY], tsg[STEM_KEY], scale=a0,
                           bias=b0, occ=occp[STEM_KEY], relu_out=True,
-                          prefold=stem_prefold)
+                          prefold=stem_prefold, replicated=stem_rep)
         else:
             x = stem(x, None)
             x = x * occ[0][..., None]

@@ -89,7 +89,7 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
             has_res: bool, has_res_w: bool, res_cp: int, relu_out: bool,
             ZR: int = 1, occ_group: bool = False, int8_in: bool = False,
             out_q: bool = False, has_res_deq: bool = False,
-            res_from_out: bool = False):
+            res_from_out: bool = False, replicated: bool = False):
     h = k // 2
     # z-run: each tile-list entry covers ZR z-adjacent tiles with ONE DMA
     # (entry z-coord in base-TZ units); extents scale, strides/origins don't
@@ -280,9 +280,15 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
         for dz in range(k):
             for dy in range(k):
                 blk = (dz * k + dy) * stride
+                # replicated: the grid stores each cell's cin channels
+                # copied at ALL k^2 tap offsets, so this store's source
+                # lanes coincide with its destination lanes — a masked
+                # move instead of a lane ROTATE (rotations made the
+                # 25-tap stem fold its dominant cost)
+                src_lo = blk if replicated else 0
                 zbuf[:, :, :, :, blk:blk + stride] = (
                     in_tile[slot, :, :, dy:dy + TY, z0 + dz:z0 + dz + TZe,
-                            :stride]
+                            src_lo:src_lo + stride]
                 )
         src = zbuf
         kw = zbuf.shape[-1]
@@ -451,7 +457,7 @@ def _fold_w(w, k, cin, cin_p, cout_p, dtype, prefolded):
     jax.jit,
     static_argnames=("tile_shape", "kernel_size", "group", "relu_out",
                      "prefolded", "zrun", "out_dtype", "res_in_place",
-                     "interpret"),
+                     "replicated", "interpret"),
 )
 def tiled_conv3d(
     x: jnp.ndarray,
@@ -469,6 +475,7 @@ def tiled_conv3d(
     out_scale: Optional[jnp.ndarray] = None,
     res_x_scale: Optional[jnp.ndarray] = None,
     res_in_place: bool = False,
+    replicated: bool = False,
     relu_out: bool = False,
     tile_shape: Tuple[int, int, int] = (4, 4, 8),
     kernel_size: int = 3,
@@ -694,6 +701,12 @@ def tiled_conv3d(
 
     pointwise = (k == 1) or prefolded
     compact = (k > 1 and not prefolded and k * k * cin <= 128)
+    # replicated input mode: x's lanes hold each cell's cin channels
+    # copied at every (dz, dy) tap offset (lane blk*cin .. blk*cin+cin),
+    # making the compact fold's stores rotation-free (see _kernel)
+    assert not replicated or compact, \
+        "replicated input lanes only pair with the compact fold"
+    assert not replicated or cp >= _lanes(k * k * cin)
     wy = TY if pointwise else TY + 2 * h
     wz = TZe if pointwise else TZe + 16
     scratch = [
@@ -727,7 +740,7 @@ def tiled_conv3d(
         has_occ=has_occ, has_res=has_res, has_res_w=has_res_w,
         res_cp=res_cp, relu_out=relu_out, ZR=zrun, occ_group=occ_group,
         int8_in=int8_in, out_q=out_q, has_res_deq=has_res_deq,
-        res_from_out=res_in_place,
+        res_from_out=res_in_place, replicated=replicated,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -32,16 +32,18 @@ def _tile_slices(t, ts):
     return tuple(slice(t[i] * ts[i], (t[i] + 1) * ts[i]) for i in range(3))
 
 
-@pytest.mark.parametrize("k,tile_shape,group,prefolded", [
-    (3, (8, 8, 8), 1, False),
-    (3, (4, 4, 8), 4, False),   # fine tiles, batched groups
-    (3, (4, 4, 8), 8, False),
-    (1, (4, 4, 8), 4, False),   # pointwise
-    (5, (4, 4, 8), 4, True),    # prefolded stem mode
+@pytest.mark.parametrize("k,tile_shape,group,prefolded,replicated", [
+    (3, (8, 8, 8), 1, False, False),
+    (3, (4, 4, 8), 4, False, False),   # fine tiles, batched groups
+    (3, (4, 4, 8), 8, False, False),
+    (1, (4, 4, 8), 4, False, False),   # pointwise
+    (5, (4, 4, 8), 4, True, False),    # prefolded stem mode
+    (5, (4, 2, 8), 32, False, True),   # replicated-lane stem mode
 ])
-def test_tiled_conv_matches_dense(rng, k, tile_shape, group, prefolded):
+def test_tiled_conv_matches_dense(rng, k, tile_shape, group, prefolded,
+                                  replicated):
     X, Y, Z, cin, cout = 16, 16, 32, 8, 16
-    if prefolded:
+    if prefolded or replicated:
         cin = 3
     x = np.zeros((X, Y, Z, cin), np.float32)
     occ_cells = rng.randint(0, [X, Y, Z], (200, 3))
@@ -51,13 +53,17 @@ def test_tiled_conv_matches_dense(rng, k, tile_shape, group, prefolded):
 
     tiles = occupied_tiles(occ_cells, (X, Y, Z), tile_shape,
                            pad_multiple=group)
-    xm = _margined(x)
+    if replicated:
+        # cells carry their cin channels copied at all k^2 tap offsets
+        xm = _margined(np.tile(x, (1, 1, 1, k * k)))
+    else:
+        xm = _margined(x)
     if prefolded:
         xm = fold_dydz(_margined(x)[..., :cin], k)
     got = tiled_conv3d(
         xm, jnp.asarray(w), jnp.asarray(tiles),
         tile_shape=tile_shape, kernel_size=k, group=group,
-        prefolded=prefolded, interpret=True,
+        prefolded=prefolded, replicated=replicated, interpret=True,
     )
     got = _interior(got, cout)
     ref = _dense_ref(x, w, k)

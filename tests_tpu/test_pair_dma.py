@@ -141,3 +141,39 @@ def test_up2_out_donation_matches():
     got = tiled_up2(xm, jnp.asarray(w), tiles, occ=occp,
                     tile_shape=ts, group=group, out=donor)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
+def test_replicated_stem_fold_matches_xla():
+    """Real-TPU parity for the replicated-lane stem fold (rotation-free
+    masked moves; see dense_unet stem_rep / tiled_conv3d replicated)."""
+    from canonicalvoting_tpu.models.dense_unet import _DN, _to_dense_kernel
+    from canonicalvoting_tpu.ops.pallas.tiled_conv import (
+        pack_occ_group, tiled_conv3d)
+
+    rng = np.random.RandomState(7)
+    X, Y, Z, cin, cout, k = 16, 16, 32, 3, 16, 5
+    ts, G = (4, 2, 8), 32
+    x = np.zeros((X, Y, Z, cin), np.float32)
+    cells = rng.randint(0, [X, Y, Z], (200, 3))
+    x[cells[:, 0], cells[:, 1], cells[:, 2]] = rng.randn(200, cin)
+    w = rng.randn(k ** 3, cin, cout).astype(np.float32) * 0.2
+    tiles = jnp.asarray(occupied_tiles(cells, (X, Y, Z), ts,
+                                       pad_multiple=G))
+    occg = np.zeros((X, Y, Z), np.float32)
+    occg[cells[:, 0], cells[:, 1], cells[:, 2]] = 1.0
+    occm = jnp.pad(jnp.asarray(occg), ((MX, MX), (MY, MY), (MZ, MZ)))
+    occp = pack_occ_group(occm, tiles, ts, group=G)
+    xr = np.tile(x, (1, 1, 1, k * k))
+    xm = jnp.pad(jnp.asarray(xr), ((MX, MX), (MY, MY), (MZ, MZ),
+                                   (0, 128 - xr.shape[-1])))
+    got = tiled_conv3d(xm, jnp.asarray(w), tiles, occ=occp, tile_shape=ts,
+                       group=G, kernel_size=k, replicated=True)
+    got = np.asarray(got)[MX:-MX, MY:-MY, MZ:-MZ, :cout]
+    wk = _to_dense_kernel(jnp.asarray(w), k)
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], wk, (1, 1, 1), [(2, 2)] * 3,
+        dimension_numbers=_DN))[0] * occg[..., None]
+    for t in np.asarray(tiles):
+        sl = tuple(slice(t[i] * ts[i], (t[i] + 1) * ts[i])
+                   for i in range(3))
+        np.testing.assert_allclose(got[sl], ref[sl], atol=1e-4)
