@@ -46,7 +46,7 @@ def main():
 
     args_t = pipe_t.prepare_scene(scene.points, scene.rgb)
     args_x = pipe_x.prepare_scene(scene.points, scene.rgb)
-    _, feats0, flat0, valid0 = args_t[1:5]
+    feats0, flat0, valid0 = args_t[1:4]
     dense_dims0 = args_t[6]
     dm = pipe_t._dense_model
     init_fn = jax.jit(lambda r, f, fi, v: dm.init(
