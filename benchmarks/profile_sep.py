@@ -1,0 +1,130 @@
+"""Device op-level profile of the SEPARATE (9-category) pipeline.
+
+Traces SeparateDetectionPipeline.run_scene (the lax.scan over the 9 stacked
+models), aggregates TPU op durations by category and prints the top ops —
+the attribution tool for the round-4 separate-path optimization
+(VERDICT r3 item 1: 1.19 -> >=4 scenes/s).
+
+Usage: python benchmarks/profile_sep.py [--top N]
+"""
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from canonicalvoting_tpu.data.synthetic import make_scene
+from canonicalvoting_tpu.decode.peeling import PeelConfig
+from canonicalvoting_tpu.eval.separate import SeparateDetectionPipeline
+from canonicalvoting_tpu.models import MinkUNet34C
+from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+
+TRACEDIR = "/tmp/jaxtrace_sep"
+
+
+def categorize(name):
+    n = name.lower()
+    if "fusion" in n and ("conv" in n or "dot" in n):
+        return "conv/dot-fusion"
+    for pat, cat in [
+        ("custom-call", "pallas"),
+        ("convolution", "conv"),
+        ("dot", "dot"),
+        ("reshape", "reshape"),
+        ("transpose", "transpose"),
+        ("broadcast", "broadcast"),
+        ("copy", "copy"),
+        ("dynamic-update", "dyn-update"),
+        ("dynamic-slice", "dyn-slice"),
+        ("scatter", "scatter"),
+        ("gather", "gather"),
+        ("reduce", "reduce"),
+        ("while", "while"),
+        ("fusion", "fusion"),
+        ("select", "select"),
+        ("iota", "iota"),
+    ]:
+        if pat in n:
+            return cat
+    return "other"
+
+
+def main():
+    rng = np.random.RandomState(0)
+    res = 0.03
+    scene = make_scene(rng, extent=(6.0, 2.5, 7.0), n_background=50000,
+                       n_boxes=6, pts_per_box=3000)
+    model = MinkUNet34C(3, 8)
+    pipe = SeparateDetectionPipeline(
+        model=model, stacked_variables=None, res=res, num_rots=120,
+        peel=PeelConfig(res=res, max_boxes=64, max_iters=96,
+                        elimination_inclusive=False),
+        cap_multiple=8192,
+    )
+    coords, idx = sparse_quantize(scene.points, res)
+    args = pipe.prepare_quantized(coords, scene.rgb[idx])
+    _, feats0, flat0, valid0 = args[:4]
+    dense_dims0 = args[6]
+    dm = pipe._dense_model
+    init_fn = jax.jit(lambda r, f, fi, v: dm.init(
+        r, f, fi, v, tuple(dense_dims0), False))
+    var1 = init_fn(jax.random.PRNGKey(0), feats0, flat0, valid0)
+    pipe.stacked_variables = jax.tree_util.tree_map(
+        lambda x: jax.numpy.stack([x] * 9), var1)
+
+    out = pipe.run_scene(args)
+    int(np.asarray(out["n_boxes"]).sum())
+    NITER = 3
+    shutil.rmtree(TRACEDIR, ignore_errors=True)
+    with jax.profiler.trace(TRACEDIR):
+        for _ in range(NITER):
+            out = pipe.run_scene(args)
+            int(np.asarray(out["n_boxes"]).sum())
+
+    tj = sorted(glob.glob(TRACEDIR + "/plugins/profile/*/*.trace.json.gz"))
+    if not tj:
+        print("no trace written", file=sys.stderr)
+        return 1
+    with gzip.open(tj[-1], "rt") as f:
+        trace = json.load(f)
+    tpu_pids = set()
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pn = ev["args"].get("name", "")
+            if "TPU" in pn or "tpu" in pn:
+                tpu_pids.add(ev["pid"])
+    cats = defaultdict(float)
+    ops = defaultdict(float)
+    total = 0.0
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "X" or ev.get("pid") not in tpu_pids:
+            continue
+        name = ev.get("name", "")
+        dur = ev.get("dur", 0) / 1000.0
+        if name.startswith(("$", "process_")):
+            continue
+        cats[categorize(name)] += dur
+        ops[name] += dur
+        total += dur
+    per = NITER
+    print(f"total device-op time: {total / per:.1f} ms/scene "
+          f"({NITER} iters, 9 categories scanned)")
+    for c, t in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {c:<16} {t / per:7.2f} ms")
+    topn = int(sys.argv[sys.argv.index("--top") + 1]) \
+        if "--top" in sys.argv else 30
+    print(f"\ntop {topn} ops:")
+    for name, t in sorted(ops.items(), key=lambda kv: -kv[1])[:topn]:
+        print(f"  {t / per:7.2f} ms  {name[:110]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,7 +100,13 @@ def peel_boxes(
 
     Returns dict with fixed-size arrays:
       boxes (max_boxes, 8, 3) world corners, scores (max_boxes,),
-      classes (max_boxes,) int32, accepted (max_boxes,) bool, n_boxes int32.
+      classes (max_boxes,) int32, accepted (max_boxes,) bool, n_boxes int32,
+      plus exit diagnostics (the reference's loop is unbounded,
+      eval_joint.py:204, so a budgeted loop must say WHY it stopped):
+      exit_on_threshold bool — the loop stopped because the peak fell below
+      thresh_high (the reference's only exit); n_dropped int32 — accepted
+      boxes discarded because the max_boxes output buffer was full;
+      truncated bool — results may be incomplete (budget exit or drops).
     """
     cfg = config
     res = jnp.float32(cfg.res)
@@ -122,11 +128,13 @@ def peel_boxes(
     bbox_raw = jnp.asarray(unit_box_corners(), jnp.float32)  # (8, 3)
 
     def cond(state):
-        (grid, boxes, scores, classes, accepted, n_boxes, it, done) = state
+        (grid, boxes, scores, classes, accepted, n_boxes, it, done,
+         dropped) = state
         return jnp.logical_and(jnp.logical_not(done), it < cfg.max_iters)
 
     def body(state):
-        (grid, boxes, scores, classes, accepted, n_boxes, it, done) = state
+        (grid, boxes, scores, classes, accepted, n_boxes, it, done,
+         dropped) = state
 
         flat_idx = jnp.argmax(grid)
         cand = jnp.stack(jnp.unravel_index(flat_idx, grid_shape)).astype(jnp.int32)
@@ -223,8 +231,10 @@ def peel_boxes(
         classes = jnp.where(write, classes.at[slot].set(best_class), classes)
         accepted = jnp.where(write, accepted.at[slot].set(True), accepted)
         n_boxes = n_boxes + jnp.where(write, 1, 0)
+        dropped = dropped + jnp.where(ok & jnp.logical_not(write), 1, 0)
 
-        return (grid, boxes, scores, classes, accepted, n_boxes, it + 1, stop)
+        return (grid, boxes, scores, classes, accepted, n_boxes, it + 1,
+                stop, dropped)
 
     init = (
         grid_obj,
@@ -235,16 +245,19 @@ def peel_boxes(
         jnp.int32(0),
         jnp.int32(0),
         jnp.asarray(False),
+        jnp.int32(0),
     )
-    (grid, boxes, scores, classes, accepted, n_boxes, _, _) = jax.lax.while_loop(
-        cond, body, init
-    )
+    (grid, boxes, scores, classes, accepted, n_boxes, _, done, dropped) = \
+        jax.lax.while_loop(cond, body, init)
     return {
         "boxes": boxes,
         "scores": scores,
         "classes": classes,
         "accepted": accepted,
         "n_boxes": n_boxes,
+        "exit_on_threshold": done,
+        "n_dropped": dropped,
+        "truncated": jnp.logical_not(done) | (dropped > 0),
     }
 
 

@@ -15,8 +15,10 @@ arrays once per scene.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
+import warnings
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -210,6 +212,14 @@ class DetectionPipeline:
     # models/dense_unet.py `quantize`). Requires calibrate_scene() on one
     # or more representative scenes after setting `variables`.
     quantize: bool = False
+    # The reference peels until the peak drops below thresh_high with no
+    # iteration bound (eval_joint.py:204); the on-device loop is budgeted
+    # (PeelConfig.max_iters/max_boxes) and reports `truncated` when a budget
+    # (not the threshold) ended it. detect()/run_scene_with_retry() then
+    # re-run the tail with 4x the iteration budget (one extra compile,
+    # engages only on pathological scenes).
+    retry_on_truncation: bool = True
+    max_retries: int = 2
 
     def __post_init__(self):
         if self.peel is None:
@@ -271,7 +281,14 @@ class DetectionPipeline:
         self.variables = {**self.variables, "quant": merged}
 
     @functools.cached_property
+    def _tail_cache(self):
+        return {}
+
+    @property
     def _tail_fn(self):
+        return self._tail_for(self.peel)
+
+    def _tail_for(self, peel_cfg: PeelConfig):
         """Head slice -> vote -> peel, jitted separately from the backbone.
 
         Two dispatches instead of one: when the plane-splat Pallas call sits
@@ -279,8 +296,12 @@ class DetectionPipeline:
         serializes poorly and the program runs ~1.6x slower than the two
         halves do back to back (measured on v5e; see benchmarks/
         profile_bisect.py). The extra dispatch costs ~8 ms.
+
+        Cached per PeelConfig so the truncation-retry path (escalated
+        iteration budgets) reuses its compiles.
         """
-        peel_cfg = self.peel
+        if peel_cfg in self._tail_cache:
+            return self._tail_cache[peel_cfg]
         res = self.res
         num_rots = self.num_rots
         log_scale = self.log_scale
@@ -327,6 +348,7 @@ class DetectionPipeline:
                 valid=valid,
             )
 
+        self._tail_cache[peel_cfg] = tail
         return tail
 
     @functools.cached_property
@@ -378,11 +400,12 @@ class DetectionPipeline:
     def detect(self, points: np.ndarray, rgb: np.ndarray):
         """Full scene -> list of (classname, corners (8,3), prob)."""
         args = self.prepare_scene(points, rgb)
-        return self.postprocess(self.run_scene(args))
+        return self.postprocess(self.run_scene_with_retry(args))
 
-    def run_scene(self, args):
+    def run_scene(self, args, peel: Optional[PeelConfig] = None):
         """Device pass on prepare_scene/prepare_quantized output."""
         kind = args[0]
+        tail = self._tail_fn if peel is None else self._tail_for(peel)
         if kind == "dense":
             (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
              tiles, run_spec, run_tiles, occ_packs) = args
@@ -391,18 +414,43 @@ class DetectionPipeline:
                 tiles=tiles, run_spec=run_spec, run_tiles=run_tiles,
                 occ_packs=occ_packs,
             )
-            return self._tail_fn(out, coords_w, valid, grid_shape)
+            return tail(out, coords_w, valid, grid_shape)
         _, feats, pyramid, coords_w, grid_shape = args
         nvalid = pyramid["nvalid"][0]
         valid = valid_row_mask(feats.shape[0], nvalid)[:, 0]
         out = self._backbone_fn(self.variables, feats, pyramid)
-        return self._tail_fn(out, coords_w, valid, grid_shape)
+        return tail(out, coords_w, valid, grid_shape)
+
+    def run_scene_with_retry(self, args):
+        """run_scene, escalating the peel iteration budget while the loop
+        reports a budget (not threshold) exit. Matches the reference's
+        unbounded ``while True`` (eval_joint.py:204) up to max_retries
+        budget doublings; each escalation is one extra tail compile,
+        cached for subsequent scenes."""
+        out = self.run_scene(args)
+        if not self.retry_on_truncation:
+            return out
+        peel = self.peel
+        for _ in range(self.max_retries):
+            if not bool(jax.device_get(out["truncated"])):
+                return out
+            peel = dataclasses.replace(
+                peel, max_iters=peel.max_iters * 4,
+                max_boxes=peel.max_boxes * 2)
+            out = self.run_scene(args, peel=peel)
+        return out
 
     def postprocess(self, out) -> list:
         """Host NMS + class naming (eval_joint.py:270-280)."""
         # one batched fetch: per-leaf np.asarray pays a transfer round trip
         # each, which adds up on high-latency links
         out = jax.device_get(out)
+        if bool(np.asarray(out.get("truncated", False)).any()):
+            warnings.warn(
+                "peel_boxes stopped on an iteration/box budget, not the "
+                "vote threshold — detections may be incomplete (use "
+                "run_scene_with_retry or raise PeelConfig.max_iters/"
+                "max_boxes)", RuntimeWarning, stacklevel=2)
         n = int(out["n_boxes"])
         boxes = np.asarray(out["boxes"])[:n]
         scores = np.asarray(out["scores"])[:n]

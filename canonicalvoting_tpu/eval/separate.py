@@ -15,7 +15,9 @@ ONE device program per scene:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import warnings
 from dataclasses import dataclass
 from typing import Dict, List
 
@@ -71,6 +73,10 @@ class SeparateDetectionPipeline:
     conv_impl: str = "auto"
     stem_impl: str = "tiled"  # or "prefold" (see models.dense_unet)
     lazy_rot_scale: object = "auto"
+    # budget-exit retry, as in DetectionPipeline: re-run with 4x max_iters
+    # when any category's peel reports a budget (not threshold) exit
+    retry_on_truncation: bool = True
+    max_retries: int = 2
 
     def __post_init__(self):
         if self.categories is None:
@@ -100,7 +106,9 @@ class SeparateDetectionPipeline:
             conv_impl=self.conv_impl, stem_impl=self.stem_impl,
         )
 
-    def _vote_and_peel(self, xyz, scale, prob, coords_w, valid, grid_shape):
+    def _vote_and_peel(self, xyz, scale, prob, coords_w, valid, grid_shape,
+                       peel: PeelConfig = None):
+        peel = peel if peel is not None else self.peel
         corners = compute_corners(coords_w, valid)
         corner = corners[0]
         if self.lazy_rot_scale:
@@ -122,7 +130,7 @@ class SeparateDetectionPipeline:
 
             return peel_boxes(
                 go, None, None, coords_w, xyz, prob, None, corner,
-                self.peel, valid=valid, rot_scale_fn=rot_scale_fn,
+                peel, valid=valid, rot_scale_fn=rot_scale_fn,
             )
         go, gr, gs = hough_voting(
             coords_w, xyz, scale, prob, res=self.res, num_rots=self.num_rots,
@@ -130,12 +138,21 @@ class SeparateDetectionPipeline:
             method=self.hv_method,
         )
         return peel_boxes(
-            go, gr, gs, coords_w, xyz, prob, None, corner, self.peel,
+            go, gr, gs, coords_w, xyz, prob, None, corner, peel,
             valid=valid,
         )
 
     @functools.cached_property
+    def _scene_fn_cache(self):
+        return {}
+
+    @property
     def _scene_fn_sparse(self):
+        return self._scene_fn_sparse_for(self.peel)
+
+    def _scene_fn_sparse_for(self, peel: PeelConfig):
+        if ("sparse", peel) in self._scene_fn_cache:
+            return self._scene_fn_cache[("sparse", peel)]
         model = self.model
         log_scale = self.log_scale
 
@@ -149,14 +166,20 @@ class SeparateDetectionPipeline:
                 if log_scale:
                     scale = jnp.exp(scale)
                 return self._vote_and_peel(xyz, scale, prob, coords_w,
-                                           valid, grid_shape)
+                                           valid, grid_shape, peel=peel)
 
             return jax.vmap(per_category)(stacked_vars)
 
+        self._scene_fn_cache[("sparse", peel)] = scene_fn
         return scene_fn
 
-    @functools.cached_property
+    @property
     def _scene_fn_dense(self):
+        return self._scene_fn_dense_for(self.peel)
+
+    def _scene_fn_dense_for(self, peel: PeelConfig):
+        if ("dense", peel) in self._scene_fn_cache:
+            return self._scene_fn_cache[("dense", peel)]
         dense_model = self._dense_model
         log_scale = self.log_scale
 
@@ -166,25 +189,51 @@ class SeparateDetectionPipeline:
         def scene_fn(stacked_vars, feats, flat, valid, coords_w, dense_dims,
                      grid_shape, tiles, run_spec=(), run_tiles=None,
                      occ_packs=None):
-            def per_category(_, variables):
+            from canonicalvoting_tpu.models.dense_unet import (
+                fresh_l0_donors, shared_scene_grids)
+
+            # scene-shared device prep, ONCE for all 9 categories: input
+            # scatter grid + occupancy pyramid (weight-independent), plus
+            # two zeroed L0 scratch grids threaded through the scan carry
+            # so each category's stem/up-into-L0 writes into the previous
+            # category's dead grids instead of freshly zero-filled ones
+            # (the reference re-enters the full per-model pipeline 9x,
+            # eval_separate.py:165-186)
+            m = dense_model
+            use_fast = bool(tiles) and m.conv_impl != "xla" \
+                and m.stem_impl in ("tiled", "prefold")
+            shared = donors = None
+            if use_fast:
+                shared = shared_scene_grids(
+                    feats, flat, valid, dense_dims,
+                    in_channels=m.in_channels, stem_kernel=m.stem_kernel,
+                    compute_dtype=m.compute_dtype, stem_impl=m.stem_impl)
+                donors = fresh_l0_donors(dense_dims, m.compute_dtype)
+
+            def per_category(carry, variables):
                 out = dense_model.apply(
                     variables, feats, flat, valid, dense_dims, False,
                     tiles=tiles,
                     tile_runs=assemble_runs(run_spec, run_tiles),
-                    occ_packs=occ_packs,
+                    occ_packs=occ_packs, shared=shared, donors=carry,
                 )
+                if carry is not None:
+                    out, new_carry = out
+                else:
+                    new_carry = carry
                 xyz, scale, prob = slice_separate_heads(out)
                 if log_scale:
                     scale = jnp.exp(scale)
-                return 0, self._vote_and_peel(xyz, scale, prob, coords_w,
-                                              valid, grid_shape)
+                return new_carry, self._vote_and_peel(
+                    xyz, scale, prob, coords_w, valid, grid_shape, peel=peel)
 
             # scan (not vmap): each backbone pass saturates the chip, so the
             # categories run back-to-back inside one dispatch; scanning also
             # keeps the Pallas tiled kernels on their single-scene layout
-            _, outs = jax.lax.scan(per_category, 0, stacked_vars)
+            _, outs = jax.lax.scan(per_category, donors, stacked_vars)
             return outs
 
+        self._scene_fn_cache[("dense", peel)] = scene_fn
         return scene_fn
 
     # ------------------------------------------------------------------
@@ -196,25 +245,47 @@ class SeparateDetectionPipeline:
             conv_impl=self.conv_impl,
         )
 
-    def run_scene(self, args):
+    def run_scene(self, args, peel: PeelConfig = None):
         """One device program covering all categories for one scene."""
         if args[0] == "dense":
             (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
              tiles, run_spec, run_tiles, occ_packs) = args
-            return self._scene_fn_dense(
+            return self._scene_fn_dense_for(peel or self.peel)(
                 self.stacked_variables, feats, flat, valid, coords_w,
                 tuple(dense_dims), grid_shape, tiles,
                 run_spec=run_spec, run_tiles=run_tiles,
                 occ_packs=occ_packs,
             )
         _, feats, pyramid, coords_w, grid_shape = args
-        return self._scene_fn_sparse(
+        return self._scene_fn_sparse_for(peel or self.peel)(
             self.stacked_variables, feats, pyramid, coords_w, grid_shape
         )
+
+    def run_scene_with_retry(self, args):
+        """run_scene, escalating the peel budget while any category's loop
+        reports a budget (not threshold) exit (see DetectionPipeline)."""
+        out = self.run_scene(args)
+        if not self.retry_on_truncation:
+            return out
+        peel = self.peel
+        for _ in range(self.max_retries):
+            if not bool(np.asarray(jax.device_get(out["truncated"])).any()):
+                return out
+            peel = dataclasses.replace(
+                peel, max_iters=peel.max_iters * 4,
+                max_boxes=peel.max_boxes * 2)
+            out = self.run_scene(args, peel=peel)
+        return out
 
     def postprocess(self, out) -> list:
         """Host NMS per category -> [(category, corners (8,3), prob)]."""
         out = jax.device_get(out)
+        if bool(np.asarray(out.get("truncated", False)).any()):
+            warnings.warn(
+                "peel_boxes stopped on an iteration/box budget, not the "
+                "vote threshold — detections may be incomplete (use "
+                "run_scene_with_retry or raise PeelConfig.max_iters/"
+                "max_boxes)", RuntimeWarning, stacklevel=2)
         map_scene = []
         n_boxes = np.asarray(out["n_boxes"])
         boxes = np.asarray(out["boxes"])
@@ -230,7 +301,7 @@ class SeparateDetectionPipeline:
 
     def detect(self, coords: np.ndarray, feats_raw: np.ndarray) -> list:
         """Full quantized scene -> detections across all categories."""
-        return self.postprocess(self.run_scene(
+        return self.postprocess(self.run_scene_with_retry(
             self.prepare_quantized(coords, feats_raw)))
 
 

@@ -593,6 +593,69 @@ def build_occ_packs(occ_levels, tiles, tsg, tile_runs=None, block="basic",
             "conv_occ": conv_occ}
 
 
+def shared_scene_grids(feats, flat_idx, valid, grid_dims, *, in_channels,
+                       stem_kernel=5, compute_dtype="bfloat16",
+                       stem_impl="tiled"):
+    """Scene-shared device prep for MULTI-MODEL evaluation over one scene
+    (eval/separate.py): the input scatter grid and the occupancy pyramid
+    depend only on the scene, not on model weights, so the 9-category scan
+    computes them ONCE here and passes them to every ``DenseMinkUNet``
+    apply via ``shared=`` (the reference instead re-enters the full
+    per-model pipeline 9x, eval_separate.py:165-186).
+
+    Returns {"x": scatter grid (1, Xm, Ym, Zm, C), "occ": pyramid list}.
+    Layout matches what __call__ builds internally (replicated stem lanes
+    when stem_impl == "tiled" and the k^2 tap blocks fit 128 lanes).
+    """
+    dx, dy, dz = grid_dims
+    dxm, dym, dzm = dx + 2 * MX, dy + 2 * MY, dz + 2 * MZ
+    n_cells = dxm * dym * dzm
+    in_dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    vmask = (valid > 0)
+    safe_idx = jnp.where(
+        vmask, flat_idx,
+        n_cells + jnp.arange(flat_idx.shape[0], dtype=flat_idx.dtype))
+    frows = jnp.where(vmask[:, None], feats, 0.0)
+    stem_tiled = stem_impl in ("tiled", "prefold")
+    stem_prefold = stem_impl == "prefold"
+    scat_c = _lanes(in_channels) if (stem_tiled and not stem_prefold) \
+        else in_channels
+    ksq = stem_kernel * stem_kernel
+    stem_rep = (stem_tiled and not stem_prefold
+                and ksq * in_channels <= scat_c)
+    scat_rows = frows.astype(in_dt)
+    if stem_rep:
+        scat_rows = jnp.tile(scat_rows, (1, ksq))
+    dense = jnp.zeros((n_cells, scat_c), in_dt)
+    dense = dense.at[safe_idx].set(
+        pad_lanes(scat_rows, scat_c), mode="drop",
+        unique_indices=True, indices_are_sorted=True)
+    occ0_flat = jnp.zeros((n_cells,), jnp.float32).at[safe_idx].set(
+        1.0, mode="drop", unique_indices=True, indices_are_sorted=True)
+    x = dense.reshape(1, dxm, dym, dzm, scat_c)
+    occ = [occ0_flat.reshape(1, dxm, dym, dzm)]
+    for _ in range(4):
+        o = occ[-1][:, MX:-MX, MY:-MY, MZ:-MZ]
+        o = jax.lax.reduce_window(
+            o, -jnp.inf, jax.lax.max, (1, 2, 2, 2), (1, 2, 2, 2), "VALID")
+        occ.append(jnp.pad(o, ((0, 0), (MX, MX), (MY, MY), (MZ, MZ))))
+    return {"x": x, "occ": occ}
+
+
+def fresh_l0_donors(grid_dims, compute_dtype="bfloat16"):
+    """Two zeroed L0-shaped (1, Xm, Ym, Zm, 128) grids to seed the scan
+    carry of a multi-model eval: iteration c's stem and up-into-L0 kernels
+    write into iteration c-1's dead grids (returned by __call__ when
+    ``donors`` is passed), so only these two zero fills run per SCENE
+    instead of two per CATEGORY. Valid because every tile list covers every
+    occupied cell and every kernel epilogue masks by occupancy, so any
+    retired grid is zero outside any kernel's covered tiles."""
+    dx, dy, dz = grid_dims
+    shape = (1, dx + 2 * MX, dy + 2 * MY, dz + 2 * MZ, 128)
+    dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    return (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+
+
 class DenseMinkUNet(nn.Module):
     """Dense-execution twin of models.minkunet.MinkUNetBase.
 
@@ -601,6 +664,12 @@ class DenseMinkUNet(nn.Module):
     (N,) mask + static ``grid_dims`` (X, Y, Z) INTERIOR dims with every dim
     a multiple of 16. Returns (N, Cout) rows at the same point order
     (gathered back from the dense grid).
+
+    ``shared=`` (from ``shared_scene_grids``) skips the in-graph scatter +
+    occupancy build; ``donors=`` (a pair of dead L0 grids, see
+    ``fresh_l0_donors``) seeds the stem and up-into-L0 outputs and makes
+    __call__ return ``(rows, new_donors)`` — both are the multi-model-scan
+    fast path used by eval/separate.py.
     """
 
     in_channels: int
@@ -629,7 +698,7 @@ class DenseMinkUNet(nn.Module):
     def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
                 tiles=None, ts_group=None, occp=None, occe=None,
                 block_group=None, in_perm=None, quantize=False,
-                calibrate=False, donate_first=None):
+                calibrate=False, donate_first=None, return_c1=False):
         blk = _DENSE_BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
@@ -662,13 +731,15 @@ class DenseMinkUNet(nn.Module):
                 occp=occp, **kw)
             ch = planes * exp
         assert not isinstance(x, tuple)
+        if return_c1:
+            return x, ch, c1_buf[0]
         return x, ch
 
     @nn.compact
     def __call__(self, feats, flat_idx, valid, grid_dims: Tuple[int, int, int],
                  train: bool = False, bn_momentum=0.1, tiles=None,
                  n_scenes: int = 1, tile_runs=None, calibrate: bool = False,
-                 occ_packs=None):
+                 occ_packs=None, shared=None, donors=None):
         from canonicalvoting_tpu.data.dense_prep import (
             CONV_KEY_OFF, CONV_TILE_PLAN, STEM_KEY, STEM_TILE_PLAN,
             TILE_PLAN, TRANS_KEYS, TRANS_LEVEL, TRANS_TILE_PLAN)
@@ -732,41 +803,56 @@ class DenseMinkUNet(nn.Module):
         ksq = self.stem_kernel * self.stem_kernel
         stem_rep = (stem_tiled and not stem_prefold
                     and ksq * self.in_channels <= scat_c)
-        scat_rows = frows.astype(in_dt)
-        if stem_rep:
-            scat_rows = jnp.tile(scat_rows, (1, ksq))
-        dense = jnp.zeros((B * n_cells, scat_c), in_dt)
-        # voxel ids are unique (sparse_quantize dedups via np.unique) and
-        # ascending (np.unique sorts; flat ids are monotone in (x, y, z)),
-        # with invalid rows parked at the out-of-range sentinel B*n_cells
-        # at the tail — both scatter fast-path hints hold. Without them
-        # the scatter lowers to the generic ~30 ns/row path (~4.6 ms).
-        sorted_hint = B == 1  # multi-scene concat breaks global order
-        dense = dense.at[safe_idx].set(
-            pad_lanes(scat_rows, scat_c), mode="drop",
-            unique_indices=True, indices_are_sorted=sorted_hint)
-        occ0_flat = jnp.zeros((B * n_cells,), jnp.float32).at[safe_idx].set(
-            1.0, mode="drop", unique_indices=True,
-            indices_are_sorted=sorted_hint,
-        )
-        x = dense.reshape(B, dxm, dym, dzm, scat_c)
-        # the scatter grid dies after the stem reads it, and — being zero
-        # everywhere outside occupied cells — it is a valid donated output
-        # for a later L0-grid-producing kernel (skips one ~3 ms full-grid
-        # zero fill); claimed by the decoder's up-into-L0 below
-        scat_donor = x if (stem_tiled and not stem_prefold
-                           and scat_c == 128) else None
-        # margined occupancy pyramid as (1, X, Y, Z) — a trailing size-1
-        # channel dim would be lane-padded 128x physically; broadcasts at
-        # the use sites fuse and never materialize
-        occ = [occ0_flat.reshape(B, dxm, dym, dzm)]
-        for _ in range(4):
-            o = occ[-1][:, MX:-MX, MY:-MY, MZ:-MZ]
-            o = jax.lax.reduce_window(
-                o, -jnp.inf, jax.lax.max, (1, 2, 2, 2), (1, 2, 2, 2),
-                "VALID")
-            occ.append(jnp.pad(
-                o, ((0, 0), (MX, MX), (MY, MY), (MZ, MZ))))
+        assert donors is None or (tiled and stem_tiled and B == 1), \
+            "donor threading is a tiled single-scene eval optimization"
+        if shared is not None:
+            # multi-model scan: the scatter grid + occupancy pyramid were
+            # built ONCE by shared_scene_grids; they outlive this apply, so
+            # the scatter grid cannot be donated to a decoder kernel
+            assert B == 1
+            x = shared["x"]
+            assert x.shape[-1] == scat_c
+            occ = shared["occ"]
+            scat_donor = None
+        else:
+            scat_rows = frows.astype(in_dt)
+            if stem_rep:
+                scat_rows = jnp.tile(scat_rows, (1, ksq))
+            dense = jnp.zeros((B * n_cells, scat_c), in_dt)
+            # voxel ids are unique (sparse_quantize dedups via np.unique)
+            # and ascending (np.unique sorts; flat ids are monotone in
+            # (x, y, z)), with invalid rows parked at the out-of-range
+            # sentinel B*n_cells at the tail — both scatter fast-path hints
+            # hold. Without them the scatter lowers to the generic
+            # ~30 ns/row path (~4.6 ms).
+            sorted_hint = B == 1  # multi-scene concat breaks global order
+            dense = dense.at[safe_idx].set(
+                pad_lanes(scat_rows, scat_c), mode="drop",
+                unique_indices=True, indices_are_sorted=sorted_hint)
+            occ0_flat = jnp.zeros((B * n_cells,), jnp.float32).at[
+                safe_idx].set(
+                1.0, mode="drop", unique_indices=True,
+                indices_are_sorted=sorted_hint,
+            )
+            x = dense.reshape(B, dxm, dym, dzm, scat_c)
+            # the scatter grid dies after the stem reads it, and — being
+            # zero everywhere outside occupied cells — it is a valid
+            # donated output for a later L0-grid-producing kernel (skips
+            # one ~3 ms full-grid zero fill); claimed by the decoder's
+            # up-into-L0 below
+            scat_donor = x if (stem_tiled and not stem_prefold
+                               and scat_c == 128) else None
+            # margined occupancy pyramid as (1, X, Y, Z) — a trailing
+            # size-1 channel dim would be lane-padded 128x physically;
+            # broadcasts at the use sites fuse and never materialize
+            occ = [occ0_flat.reshape(B, dxm, dym, dzm)]
+            for _ in range(4):
+                o = occ[-1][:, MX:-MX, MY:-MY, MZ:-MZ]
+                o = jax.lax.reduce_window(
+                    o, -jnp.inf, jax.lax.max, (1, 2, 2, 2), (1, 2, 2, 2),
+                    "VALID")
+                occ.append(jnp.pad(
+                    o, ((0, 0), (MX, MX), (MY, MY), (MZ, MZ))))
         # per-tile packed occupancy for the fused tiled-conv epilogue;
         # the up kernel needs a parity-major pack of the same lists, the
         # fused block kernel a one-cell-expanded pack
@@ -817,7 +903,8 @@ class DenseMinkUNet(nn.Module):
             a0, b0 = bn0(None, None, False, return_affine=True)
             out_p1 = stem(x, tiles[STEM_KEY], tsg[STEM_KEY], scale=a0,
                           bias=b0, occ=occp[STEM_KEY], relu_out=True,
-                          prefold=stem_prefold, replicated=stem_rep)
+                          prefold=stem_prefold, replicated=stem_rep,
+                          donate=donors[0] if donors is not None else None)
         else:
             x = stem(x, None)
             x = x * occ[0][..., None]
@@ -873,6 +960,7 @@ class DenseMinkUNet(nn.Module):
         # --- decoder
         skip_chs = [self.init_dim] + [pl_[i] * exp for i in range(3)]
         x = skips[3]
+        last_c1 = None
         for d in range(4):
             lvl = 3 - d
             up = DenseConv(ch, pl_[4 + d], 2, stride=2, transpose=True,
@@ -920,9 +1008,12 @@ class DenseMinkUNet(nn.Module):
                 wu = up(None, return_kernel=True)
                 a, b = bn(None, None, False, return_affine=True)
                 ts, g = tsg[up_key]
-                up_out = scat_donor[0] if (lvl == 0
-                                           and scat_donor is not None
-                                           and not interp) else None
+                up_out = None
+                if lvl == 0 and not interp:
+                    if donors is not None:
+                        up_out = donors[1][0]
+                    elif scat_donor is not None:
+                        up_out = scat_donor[0]
                 x = tiled_up2(
                     pad_lanes(x[0].astype(dt_j), _lanes(ch)),
                     wu.astype(dt_j), tiles[up_key], scale=a, bias=b,
@@ -944,13 +1035,18 @@ class DenseMinkUNet(nn.Module):
                     x = pad_lanes(x, _lanes(pl_[4 + d] + skip_chs[lvl]))
             ch = pl_[4 + d] + skip_chs[lvl]
             ct, cts, cocc = conv_sel(lvl)
-            x, ch = self._blocks(
+            want_c1 = donors is not None and lvl == 0
+            res = self._blocks(
                 f"block{5 + d}", x, occ[lvl], ch, pl_[4 + d], ly[4 + d],
                 train, mom, tiles=ct, ts_group=cts, occp=cocc,
                 occe=occp_e.get(lvl),
                 block_group=BLOCK_GROUP.get(lvl), in_perm=in_perm,
                 quantize=quant, calibrate=calibrate,
-                donate_first=donate_first)
+                donate_first=donate_first, return_c1=want_c1)
+            if want_c1:
+                x, ch, last_c1 = res
+            else:
+                x, ch = res
 
         # gather the point rows FIRST, then apply the 1x1 head to just those
         # rows — the head on the full grid would be a (n_cells, ch) matmul
@@ -959,7 +1055,25 @@ class DenseMinkUNet(nn.Module):
             jnp.clip(flat_idx, 0, B * n_cells - 1)]
         out = DenseConv(ch, self.out_channels, 1, use_bias=True,
                         compute_dtype=dt, name="final")(rows_in, rows=True)
-        return jnp.where(vmask[:, None], out.astype(jnp.float32), 0.0)
+        out = jnp.where(vmask[:, None], out.astype(jnp.float32), 0.0)
+        if donors is None:
+            return out
+        # retire two dead L0 grids for the NEXT model in the scan: the last
+        # L0 block's conv1 output (dead once its conv2 read it) seeds the
+        # stem, and the final L0 grid (dead after the row gather above)
+        # seeds the up-into-L0. Zero outside occupied cells by the epilogue
+        # occupancy masks, so they are valid donated outputs for ANY tile
+        # list covering the occupied set. Fall back to the incoming donors
+        # when a branch did not produce a suitable grid.
+        d0 = donors[0]
+        if last_c1 is not None and last_c1.shape == d0.shape \
+                and last_c1.dtype == d0.dtype:
+            d0 = last_c1
+        d1 = donors[1]
+        xg = x
+        if xg.shape == d1.shape and xg.dtype == d1.dtype:
+            d1 = xg
+        return out, (d0, d1)
 
 
 def DenseMinkUNet34C(in_channels, out_channels, **kw):

@@ -151,3 +151,91 @@ def test_peeling_padded_points_masked(rng):
     np.testing.assert_allclose(
         np.asarray(padded["boxes"])[:n], np.asarray(base["boxes"])[:n], atol=1e-5
     )
+
+
+def _many_peak_grid(n_side=6, res=0.05):
+    """Adversarial vote grid: an n_side^2 lattice of high peaks whose
+    back-projection stats all REJECT (garbage LCC) — every peak burns one
+    peel iteration with no box written (the truncation scenario of the
+    reference's unbounded loop, eval_joint.py:204)."""
+    dims = (8 * n_side, 16, 8 * n_side)
+    go = np.zeros(dims, np.float32)
+    for i in range(n_side):
+        for j in range(n_side):
+            go[4 + 8 * i, 8, 4 + 8 * j] = 500.0
+    gr = np.zeros(dims + (2,), np.float32)
+    gr[..., 0] = 1.0
+    gs = np.full(dims + (3,), 0.1, np.float32)
+    rng = np.random.RandomState(0)
+    points = rng.uniform(0, res * 8 * n_side, (4000, 3)).astype(np.float32)
+    xyz = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+    prob = np.full((4000,), 0.9, np.float32)
+    cls = np.zeros((4000,), np.int32)
+    return go, gr, gs, points, xyz, prob, cls
+
+
+def test_peel_budget_exit_reporting():
+    """max_iters below the peak count => budget exit is reported; a
+    sufficient budget exits on the threshold like the reference."""
+    go, gr, gs, points, xyz, prob, cls = _many_peak_grid(n_side=6)
+    corner = np.zeros(3, np.float32)
+
+    short = PeelConfig(res=0.05, max_boxes=8, max_iters=8)
+    out = peel_boxes(go, gr, gs, points, xyz, prob, cls, corner, short)
+    assert bool(out["truncated"])
+    assert not bool(out["exit_on_threshold"])
+    assert int(out["n_boxes"]) == 0
+
+    enough = PeelConfig(res=0.05, max_boxes=8, max_iters=64)
+    out = peel_boxes(go, gr, gs, points, xyz, prob, cls, corner, enough)
+    assert not bool(out["truncated"])
+    assert bool(out["exit_on_threshold"])
+
+
+def test_peel_drop_reporting(rng):
+    """Accepted boxes beyond max_boxes are counted in n_dropped."""
+    res = 0.06
+    specs = [
+        (np.array([c, 0.6, c2], np.float32),
+         np.array([0.3, 0.4, 0.3], np.float32), 0.2)
+        for c in (0.8, 2.6) for c2 in (0.8, 2.6)
+    ]
+    points, xyz, scl, prob, cls = _scene_with_boxes(rng, specs)
+    corners = np.stack([points.min(0), points.max(0)])
+    dims = ((corners[1] - corners[0]) / res).astype(np.int32) + 1
+    go, gr, gs = hough_voting(
+        points, xyz, scl, prob, res=res, num_rots=24,
+        grid_shape=tuple(int(d) for d in dims))
+    full = PeelConfig(res=res, max_boxes=16, max_iters=64)
+    out_full = peel_boxes(np.asarray(go), np.asarray(gr), np.asarray(gs),
+                          points, xyz, prob, cls, corners[0], full)
+    n_all = int(out_full["n_boxes"])
+    assert n_all == 4 and not bool(out_full["truncated"])
+
+    tight = PeelConfig(res=res, max_boxes=2, max_iters=64)
+    out = peel_boxes(np.asarray(go), np.asarray(gr), np.asarray(gs),
+                     points, xyz, prob, cls, corners[0], tight)
+    assert int(out["n_boxes"]) == 2
+    assert int(out["n_dropped"]) == n_all - 2
+    assert bool(out["truncated"])
+
+
+def test_peel_retry_escalation_recovers():
+    """The pipelines' retry loop (run_scene_with_retry: 4x max_iters, 2x
+    max_boxes per escalation) reaches a threshold exit on an adversarial
+    many-peak grid within two escalations."""
+    go, gr, gs, points, xyz, prob, cls = _many_peak_grid(n_side=6)
+    corner = np.zeros(3, np.float32)
+    cfg = PeelConfig(res=0.05, max_boxes=8, max_iters=4)
+    out = peel_boxes(go, gr, gs, points, xyz, prob, cls, corner, cfg)
+    n_retries = 0
+    while bool(out["truncated"]):
+        assert n_retries < 3, "escalation did not converge"
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, max_iters=cfg.max_iters * 4,
+                                  max_boxes=cfg.max_boxes * 2)
+        out = peel_boxes(go, gr, gs, points, xyz, prob, cls, corner, cfg)
+        n_retries += 1
+    assert bool(out["exit_on_threshold"])
+    assert n_retries <= 2

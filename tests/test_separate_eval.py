@@ -1,0 +1,112 @@
+"""Separate (per-category) evaluation: the multi-model scan's shared-grid +
+donor-threading fast path must be a pure optimization — bit-for-bit the
+same model outputs as independent per-category applies.
+
+The scan in eval/separate.py hoists the input scatter grid + occupancy
+pyramid out of the 9-category loop (shared_scene_grids) and threads two
+dead L0 grids through the scan carry as donated kernel outputs
+(fresh_l0_donors). The reference instead re-enters the full per-model
+pipeline 9x (reference eval_separate.py:165-186).
+"""
+
+import jax
+import numpy as np
+
+from canonicalvoting_tpu.data.dense_prep import (
+    dense_flat_ids,
+    dense_grid_geometry,
+    level_tiles,
+)
+from canonicalvoting_tpu.eval.pipeline import prepare_scene_args
+from canonicalvoting_tpu.eval.separate import (
+    SeparateDetectionPipeline,
+    stack_variables,
+)
+from canonicalvoting_tpu.models.dense_unet import (
+    DenseMinkUNet,
+    build_occ_packs,
+    fresh_l0_donors,
+    shared_scene_grids,
+)
+from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+
+TINY_PLANES = (8, 16, 32, 32, 32, 32, 16, 16)
+
+
+def _scene(rng, n_pts=250, extent=0.8):
+    pts = rng.uniform(0, extent, (n_pts, 3)).astype(np.float32)
+    pts[: n_pts // 4] -= extent / 2
+    coords, idx = sparse_quantize(pts, 0.03)
+    return coords, rng.rand(len(coords), 3).astype(np.float32)
+
+
+def test_shared_and_donor_scan_matches_plain_applies(rng):
+    """apply(shared=, donors=) chained across two different weight sets ==
+    two independent plain applies (exact)."""
+    coords, feats_raw = _scene(rng)
+    n = len(coords)
+    model = DenseMinkUNet(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=TINY_PLANES, init_dim=8, compute_dtype="float32",
+        conv_impl="tiled_interpret", stem_impl="tiled",
+    )
+    base, dims = dense_grid_geometry(coords)
+    flat = dense_flat_ids(coords, base, dims)
+    valid = np.ones((n,), np.float32)
+    tiles = level_tiles(coords, base, dims)
+    va = model.init(jax.random.PRNGKey(0), feats_raw, flat, valid, dims,
+                    False, tiles=tiles)
+    vb = model.init(jax.random.PRNGKey(1), feats_raw, flat, valid, dims,
+                    False, tiles=tiles)
+
+    plain_a = np.asarray(model.apply(va, feats_raw, flat, valid, dims,
+                                     False, tiles=tiles))
+    plain_b = np.asarray(model.apply(vb, feats_raw, flat, valid, dims,
+                                     False, tiles=tiles))
+
+    shared = shared_scene_grids(
+        feats_raw, flat, valid, dims, in_channels=3,
+        compute_dtype="float32", stem_impl="tiled")
+    donors = fresh_l0_donors(dims, "float32")
+    out_a, donors = model.apply(va, feats_raw, flat, valid, dims, False,
+                                tiles=tiles, shared=shared, donors=donors)
+    # second category consumes the FIRST category's retired grids — the
+    # cross-category contamination case the donor invariant must survive
+    out_b, donors2 = model.apply(vb, feats_raw, flat, valid, dims, False,
+                                 tiles=tiles, shared=shared, donors=donors)
+    np.testing.assert_array_equal(np.asarray(out_a), plain_a)
+    np.testing.assert_array_equal(np.asarray(out_b), plain_b)
+    for d in donors2:
+        assert d.shape == donors[0].shape
+
+
+def test_separate_pipeline_dense_scan_runs(rng):
+    """SeparateDetectionPipeline's dense scan path (shared + donors under
+    lax.scan) compiles and returns per-category peel outputs."""
+    coords, feats_raw = _scene(rng, n_pts=220)
+    cats = ["chair", "table", "sofa"]
+    model = MinkUNetBase(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=TINY_PLANES, init_dim=8, compute_dtype="float32",
+    )
+    pipe = SeparateDetectionPipeline(
+        model=model, stacked_variables=None, categories=cats, res=0.03,
+        num_rots=8, backbone="dense", conv_impl="tiled_interpret",
+        grid_multiple=16, cap_multiple=256,
+    )
+    args = pipe.prepare_quantized(coords, feats_raw)
+    assert args[0] == "dense"
+    _, feats, flat, valid = args[:4]
+    dense_dims = args[6]
+    dm = pipe._dense_model
+    vs = [dm.init(jax.random.PRNGKey(i), feats, flat, valid,
+                  tuple(dense_dims), False) for i in range(len(cats))]
+    pipe.stacked_variables = stack_variables(vs)
+    out = pipe.run_scene(args)
+    n_boxes = np.asarray(out["n_boxes"])
+    assert n_boxes.shape == (len(cats),)
+    assert np.all(n_boxes >= 0)
+    assert np.asarray(out["truncated"]).shape == (len(cats),)
+    dets = pipe.postprocess(out)
+    assert isinstance(dets, list)
