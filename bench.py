@@ -92,6 +92,79 @@ def bench_separate():
     }))
 
 
+def bench_train():
+    """Joint training throughput: steps/sec with the dense (MXU) backbone,
+    ScanNet-scale batch of 3 scenes (reference config/config.yaml:15).
+    Run: python bench.py --train
+    """
+    import jax
+
+    from canonicalvoting_tpu.config import load_config
+    from canonicalvoting_tpu.data.collate import collate_joint_dense
+    from canonicalvoting_tpu.data.geometry import NCLASSES
+    from canonicalvoting_tpu.data.synthetic import make_scene
+    from canonicalvoting_tpu.models import MinkUNet34C
+    from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+    from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+    from canonicalvoting_tpu.train.steps import (
+        create_train_state_dense,
+        make_joint_train_step,
+        make_optimizer,
+    )
+
+    rng = np.random.RandomState(0)
+    res = 0.03
+    batch_scenes = 3  # reference batch size (config/config.yaml:15)
+    items = []
+    for i in range(batch_scenes):
+        s = make_scene(rng, extent=(6.0, 2.5, 7.0), n_background=50000,
+                       n_boxes=6, pts_per_box=3000)
+        coords, idx = sparse_quantize(s.points, res)
+        items.append((f"scene{i}", coords, s.rgb[idx], s.xyz_labels[idx],
+                      s.scale_labels[idx], s.class_labels[idx]))
+    batch = collate_joint_dense(items, cap_multiple=8192)
+
+    cfg = load_config(None, [])
+    model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
+    train_model = DenseMinkUNet(
+        in_channels=model.in_channels, out_channels=model.out_channels,
+        block=model.block, layers=model.layers, planes=model.planes,
+        init_dim=model.init_dim, stem_kernel=model.stem_kernel,
+        compute_dtype=model.compute_dtype, conv_impl="xla",
+    )
+    optimizer = make_optimizer(cfg.weight_decay)
+    state = create_train_state_dense(train_model, optimizer, batch)
+    step_fn = make_joint_train_step(train_model, optimizer, cfg,
+                                    backbone="dense")
+
+    # warmup / compile; float() is a real sync barrier through the relay
+    state, losses = step_fn(state, batch, 1e-3, 0.1)
+    float(losses["loss"])
+
+    n_passes = int(os.environ.get("BENCH_PASSES", "3"))
+    steps_per_pass = int(os.environ.get("BENCH_TRAIN_STEPS", "8"))
+    rates = []
+    for p in range(n_passes):
+        t0 = time.time()
+        for _ in range(steps_per_pass):
+            state, losses = step_fn(state, batch, 1e-3, 0.1)
+        loss = float(losses["loss"])  # sync
+        elapsed = time.time() - t0
+        sps = steps_per_pass / elapsed
+        print(f"pass {p}: {sps:.3f} steps/s (batch 3, loss {loss:.4f})",
+              file=sys.stderr)
+        rates.append(sps)
+    best, median = max(rates), sorted(rates)[len(rates) // 2]
+    print(json.dumps({
+        "metric": "train_steps_per_sec_joint",
+        "value": round(median, 3),
+        "unit": "steps/sec/chip (batch=3 scenes)",
+        "best": round(best, 3),
+        "median": round(median, 3),
+        "scenes_per_sec": round(median * batch_scenes, 3),
+    }))
+
+
 def jnp_stack9(x):
     import jax.numpy as jnp
 
@@ -109,6 +182,8 @@ def main():
 
     if "--separate" in sys.argv:
         return bench_separate()
+    if "--train" in sys.argv:
+        return bench_train()
 
     rng = np.random.RandomState(0)
     res = 0.03

@@ -55,6 +55,10 @@ class TPUConfig:
     max_symmetry: int = 36
     # Compute dtype for the sparse-conv GEMMs ("bfloat16" or "float32").
     conv_dtype: str = "bfloat16"
+    # Training backbone: "dense" (masked dense Conv3D on the MXU — the TPU
+    # default), "gather" (kernel-map gather-GEMM), or "auto" (dense on TPU,
+    # gather elsewhere). Parameter trees are identical either way.
+    train_backbone: str = "auto"
     # Mesh axis sizes for distributed runs; (1, 1) = single chip.
     mesh_data: int = 1
     mesh_model: int = 1

@@ -24,14 +24,19 @@ def _pad(arr: np.ndarray, cap: int, fill) -> np.ndarray:
 
 
 def collate_joint(items: Sequence, cap_multiple: int = 4096,
-                  feats_rescale: bool = True) -> Dict:
+                  feats_rescale: bool = True, capacities=None) -> Dict:
     """items: (id_scan, coords, feats, xyz_labels, scale_labels, class_labels).
 
-    Returns a device-ready batch dict plus host metadata.
+    Returns a device-ready batch dict plus host metadata. ``capacities``
+    pins the per-level pyramid capacities (identical static shapes across
+    shards of a data-parallel batch; see collate_joint_sharded).
     """
     ids, coords, feats, xyz_l, scale_l, class_l = zip(*items)
     bcoords = batched_coordinates(coords)
-    pyr = build_pyramid(bcoords, PyramidSpec(cap_multiple=cap_multiple))
+    spec = (PyramidSpec(capacities=tuple(capacities))
+            if capacities is not None
+            else PyramidSpec(cap_multiple=cap_multiple))
+    pyr = build_pyramid(bcoords, spec)
     cap0 = pyr.coords[0].shape[0]
 
     feats_b = _pad(np.concatenate(feats, 0), cap0, 0.0).astype(np.float32)
@@ -50,6 +55,42 @@ def collate_joint(items: Sequence, cap_multiple: int = 4096,
             np.concatenate(class_l, 0).astype(np.int32), cap0, NCLASSES
         ),
     }
+
+
+def collate_joint_sharded(items: Sequence, n_shards: int,
+                          cap_multiple: int = 4096,
+                          feats_rescale: bool = True) -> Dict:
+    """Collate one global batch into ``n_shards`` shard batches with
+    IDENTICAL static shapes, stacked on a new leading device axis — the
+    input format of parallel.data_parallel.make_dp_train_step. Scene-level
+    data parallelism is a new capability over the reference (single-GPU,
+    SURVEY §2); shapes are equalized by pinning every shard's pyramid to
+    the element-wise max of the shards' natural level capacities."""
+    from canonicalvoting_tpu.parallel.data_parallel import stack_scene_batches
+
+    groups = [list(items[s::n_shards]) for s in range(n_shards)]
+    if not all(groups):
+        raise ValueError(
+            f"need >= {n_shards} scenes per global batch, got {len(items)}")
+    # pass 1: each shard's natural capacities
+    pyrs = [
+        build_pyramid(
+            batched_coordinates([it[1] for it in g]),
+            PyramidSpec(cap_multiple=cap_multiple),
+        )
+        for g in groups
+    ]
+    nlev = len(pyrs[0].coords)
+    caps = tuple(
+        max(p.coords[lvl].shape[0] for p in pyrs) for lvl in range(nlev)
+    )
+    shard_batches = [
+        collate_joint(g, feats_rescale=feats_rescale, capacities=caps)
+        for g in groups
+    ]
+    batch = stack_scene_batches(shard_batches)
+    batch["meta"] = {"ids": [b["meta"]["ids"] for b in shard_batches]}
+    return batch
 
 
 def collate_joint_dense(items: Sequence, cap_multiple: int = 4096,

@@ -373,8 +373,9 @@ def hough_voting(
       valid: optional (N,) mask; invalid rows contribute nothing.
       rot_chunk: rotations processed per scan step (memory knob, xla path).
       method: "xla" (scatter-add scan; reference-exact, differentiable),
-        "pallas" (plane-splat MXU kernel — ~40 ms vs ~6 s for the XLA
-        scatter path at ScanNet scale, 66k pts x 120 rots; the
+        "pallas" (plane-splat MXU kernel — ~15 ms vs ~6 s for the XLA
+        scatter path at ScanNet scale, 66k pts x 120 rots,
+        benchmarks/RESULTS_r3.md; the
         custom VJP still uses the xla transpose), "pallas_interpret"
         (Pallas interpreter, for CPU tests), or "auto" (pallas on TPU when
         the grid shape is kernel-compatible, else xla).

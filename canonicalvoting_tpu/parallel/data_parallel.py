@@ -100,7 +100,8 @@ def make_dp_train_step(model, optimizer, cfg, mesh: Mesh) -> Callable:
 
     def place(batch):
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, data_sharding), batch
+            lambda x: jax.device_put(x, data_sharding),
+            {k: v for k, v in batch.items() if k != "meta"},
         )
 
     jitted = jax.jit(step_fn)

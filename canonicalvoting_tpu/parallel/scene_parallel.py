@@ -104,6 +104,78 @@ def make_sharded_votepeel_fn(mesh: Mesh, *, res: float = 0.03,
     return run
 
 
+def evaluate_scenes_sharded(model, variables, scenes, *, mesh: Mesh = None,
+                            res: float = 0.03, num_rots: int = 120,
+                            log_scale: bool = True, peel: PeelConfig = None,
+                            nms_iou: float = 0.3, cap_multiple: int = 4096,
+                            grid_multiple=(64, 32, 128)):
+    """Fan a scene list over the devices: the CLI driver for
+    make_sharded_eval_fn (used by eval_joint.py when >1 device is visible).
+
+    ``scenes``: [(id_scan, coords, feats_raw), ...] with quantized int
+    voxel coords. Returns {id_scan: [(classname, corners (8,3), prob)]} —
+    the same format as DetectionPipeline.postprocess, so mAP scoring is
+    caller-agnostic. One static shape serves every chunk: point capacity
+    and vote-grid dims are maxed over all scenes (one compile), scenes are
+    grouped D at a time, and the last group is padded by repetition.
+    """
+    from canonicalvoting_tpu.data.geometry import (
+        IDX2NAME,
+        NAME2CATNAME,
+        NCLASSES,
+    )
+    from canonicalvoting_tpu.metrics.ap import nms as nms_host
+    from canonicalvoting_tpu.ops.hough_voting import round_grid_shape
+
+    if mesh is None:
+        from canonicalvoting_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=len(jax.devices()), model=1)
+    D = int(mesh.shape["data"])
+    peel = peel or PeelConfig(res=res)
+
+    caps = max(len(s[1]) for s in scenes)
+    cap = int(np.ceil(caps / cap_multiple) * cap_multiple)
+    dims = np.max(
+        [(s[1].max(0) - s[1].min(0)) + 1 for s in scenes], axis=0
+    ).astype(np.int32)
+    grid_shape = round_grid_shape(dims, grid_multiple)
+
+    run = make_sharded_eval_fn(
+        model, mesh, res=res, num_rots=num_rots, log_scale=log_scale,
+        peel=peel, grid_shape=grid_shape,
+    )
+
+    results = {}
+    for start in range(0, len(scenes), D):
+        chunk = list(scenes[start:start + D])
+        n_real = len(chunk)
+        while len(chunk) < D:  # pad the ragged tail group
+            chunk.append(chunk[0])
+        batch = collate_eval_scenes(
+            [(c, f) for (_id, c, f) in chunk], cap=cap, res=res,
+            feats_dim=chunk[0][2].shape[1],
+        )
+        out = jax.device_get(run(variables, batch))
+        for i in range(n_real):
+            id_scan = chunk[i][0]
+            n = int(out["n_boxes"][i])
+            boxes = np.asarray(out["boxes"][i])[:n]
+            scores = np.asarray(out["scores"][i])[:n]
+            classes = np.asarray(out["classes"][i])[:n]
+            dets = []
+            for ci in range(NCLASSES):
+                sel = classes == ci
+                if not sel.any():
+                    continue
+                b, s = boxes[sel], scores[sel]
+                for j in nms_host(b, s, nms_iou):
+                    dets.append(
+                        (NAME2CATNAME[IDX2NAME[ci]], b[j], float(s[j])))
+            results[id_scan] = dets
+    return results
+
+
 def make_sharded_eval_fn(model, mesh: Mesh, *, res: float = 0.03,
                          num_rots: int = 120, log_scale: bool = True,
                          peel: PeelConfig = None, grid_shape=(128, 64, 128)):

@@ -54,8 +54,9 @@ def main(argv):
 
     scenenn = "--scenenn" in argv
     synthetic = "--synthetic" in argv
+    no_mesh = "--no-mesh" in argv
     argv = [a for a in argv if not a.startswith("--scenenn")
-            and a != "--synthetic"]
+            and a not in ("--synthetic", "--no-mesh")]
     checkpoint = None
     rest = []
     for a in argv:
@@ -87,6 +88,60 @@ def main(argv):
         scenes = (ds[i] for i in range(len(ds)))
         gt_lookup = None
 
+    def gt_for(id_scan):
+        if gt_lookup is not None:
+            return gt_lookup(id_scan)
+        import os
+
+        gt_dir = (os.path.join(cfg.data.scene_nn_root, "results_gt")
+                  if scenenn else cfg.data.gt_path)
+        return load_gt_scene(gt_dir, id_scan, scenenn=scenenn)
+
+    import jax
+
+    if len(jax.devices()) > 1 and not no_mesh:
+        # scene-parallel fan-out: D scenes per dispatch, sharded over the
+        # 'data' mesh axis (parallel/scene_parallel.py) — new capability
+        # over the scene-at-a-time reference (eval_joint.py:163-303)
+        from canonicalvoting_tpu.parallel.scene_parallel import (
+            evaluate_scenes_sharded,
+        )
+
+        scene_list = [(it[0], it[1], it[2]) for it in scenes]
+        first = scene_list[0]
+        pyr = build_pyramid(batched_coordinates([first[1]]),
+                            PyramidSpec(cap_multiple=4096))
+        f0 = np.zeros((pyr.coords[0].shape[0], first[2].shape[1]),
+                      np.float32)
+        variables = load_variables(model, checkpoint,
+                                   (f0, pyr.as_jax_inputs()))
+        logger.info("fanning %d scenes over %d devices",
+                    len(scene_list), len(jax.devices()))
+        pred_map_cls = evaluate_scenes_sharded(
+            model, variables, scene_list, res=cfg.scannet_res,
+            log_scale=cfg.log_scale,
+            peel=PeelConfig(res=cfg.scannet_res,
+                            max_boxes=cfg.tpu.max_boxes),
+        )
+        gt_map_cls = {}
+        for id_scan, dets in pred_map_cls.items():
+            if scenenn:
+                pred_map_cls[id_scan] = [
+                    d for d in dets if d[0] in
+                    ("cabinet", "chair", "table", "sofa", "display")]
+            gt_map_cls[id_scan] = gt_for(id_scan)
+            logger.info("%s: %d detections", id_scan,
+                        len(pred_map_cls[id_scan]))
+        for thresh in (0.25, 0.5):
+            print(thresh)
+            d = compute_map(pred_map_cls, gt_map_cls, ovthresh=thresh)
+            for k in sorted(k for k in d
+                            if k.endswith("Average Precision")):
+                logger.info("%s: %s", k, d[k])
+            logger.info("mean Average Precision: %s", d["mAP"])
+            logger.info("AR: %s", d["AR"])
+        return
+
     # init pipeline from the first scene's shapes
     pred_map_cls = {}
     gt_map_cls = {}
@@ -112,15 +167,7 @@ def main(argv):
             dets = [d for d in dets if d[0] in
                     ("cabinet", "chair", "table", "sofa", "display")]
         pred_map_cls[id_scan] = dets
-        if gt_lookup is not None:
-            gt_map_cls[id_scan] = gt_lookup(id_scan)
-        else:
-            import os
-
-            gt_dir = (os.path.join(cfg.data.scene_nn_root, "results_gt")
-                      if scenenn else cfg.data.gt_path)
-            gt_map_cls[id_scan] = load_gt_scene(gt_dir, id_scan,
-                                                scenenn=scenenn)
+        gt_map_cls[id_scan] = gt_for(id_scan)
         logger.info("%s: %d detections", id_scan, len(dets))
 
     for thresh in (0.25, 0.5):

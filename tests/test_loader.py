@@ -1,6 +1,7 @@
 """DataLoader worker-mode tests: process fan-out correctness + modes."""
 
 import os
+import time
 
 import numpy as np
 
@@ -17,7 +18,11 @@ class _PidDataset:
         return self.n
 
     def __getitem__(self, i):
-        # some real numpy work so the pool actually fans out
+        # ~50ms per item: with 24 items one worker alone would need >1.2s,
+        # giving slow-starting siblings time to pick up tasks — on a loaded
+        # machine, microsecond items let a single fast worker drain the
+        # whole queue before the rest of the pool finishes spawning
+        time.sleep(0.05)
         a = np.random.RandomState(i).rand(64, 64)
         s = float((a @ a).sum())
         return (int(i), os.getpid(), s)

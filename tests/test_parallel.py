@@ -113,6 +113,97 @@ def test_scene_parallel_eval_matches_per_scene(rng):
                                    atol=1e-4)
 
 
+def test_joint_training_mesh_wiring(rng, tmp_path):
+    """run_joint_training with tpu.mesh_data/mesh_model > 1 drives the DP x
+    TP train step (collate_joint_sharded -> make_dp_train_step) end-to-end
+    and produces a finite loss + host-restorable checkpoint."""
+    from canonicalvoting_tpu.config import load_config
+    from canonicalvoting_tpu.data.geometry import NCLASSES
+    from canonicalvoting_tpu.data.loader import ListDataset
+    from canonicalvoting_tpu.data.synthetic import make_scene
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+    from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+    from canonicalvoting_tpu.train.joint_loop import run_joint_training
+
+    cfg = load_config(None, [
+        "max_epoch=0", "batch_size=1", "num_workers=0",
+        "tpu.mesh_data=2", "tpu.mesh_model=2", "tpu.conv_dtype=float32",
+    ])
+    items = []
+    for i in range(2):
+        sc = make_scene(rng, extent=(0.9, 0.8, 0.9), n_background=400,
+                        n_boxes=1, pts_per_box=150)
+        coords, idx = sparse_quantize(sc.points, 0.03)
+        items.append((f"s{i}", coords, sc.rgb[idx], sc.xyz_labels[idx],
+                      sc.scale_labels[idx], sc.class_labels[idx]))
+    model = MinkUNetBase(
+        in_channels=3, out_channels=6 * NCLASSES + NCLASSES + 1,
+        block="basic", layers=(1,) * 8, planes=(8, 16, 16, 16, 16, 16, 8, 8),
+        init_dim=8, compute_dtype="float32",
+    )
+    state, ret = run_joint_training(
+        cfg, ListDataset(items), ListDataset(items[:1]),
+        workdir=str(tmp_path), gt_lookup=lambda _id: [], eval_every=999,
+        cap_multiple=256, model=model,
+    )
+    assert int(jax.device_get(state.step)) == 1  # epoch 0, one global batch
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    assert all(np.all(np.isfinite(np.asarray(p))) for p in leaves)
+
+
+def test_evaluate_scenes_sharded_matches_pipeline(rng):
+    """The CLI fan-out driver returns the same detection dict as the
+    single-device DetectionPipeline for every scene."""
+    from canonicalvoting_tpu.data.synthetic import make_scene
+    from canonicalvoting_tpu.decode.peeling import PeelConfig
+    from canonicalvoting_tpu.eval.pipeline import DetectionPipeline
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+    from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+    from canonicalvoting_tpu.parallel.scene_parallel import (
+        evaluate_scenes_sharded,
+    )
+    from canonicalvoting_tpu.train.steps import init_variables
+    from canonicalvoting_tpu.ops.coords import PyramidSpec, build_pyramid
+    from canonicalvoting_tpu.ops.voxelize import batched_coordinates
+
+    res = 0.03
+    scenes = []
+    for i in range(3):  # 3 scenes over 8 devices: exercises tail padding
+        sc = make_scene(rng, extent=(0.85, 0.8, 0.85), n_background=400,
+                        n_boxes=1, pts_per_box=150)
+        coords, idx = sparse_quantize(sc.points, res)
+        scenes.append((f"s{i}", coords, sc.rgb[idx]))
+
+    model = MinkUNetBase(
+        in_channels=3, out_channels=6 * 9 + 9 + 1, block="basic",
+        layers=(1,) * 8, planes=(8, 16, 16, 16, 16, 16, 8, 8), init_dim=8,
+        compute_dtype="float32",
+    )
+    pyr = build_pyramid(batched_coordinates([scenes[0][1]]),
+                        PyramidSpec(capacities=(1024,) * 5))
+    f0 = np.zeros((1024, 3), np.float32)
+    variables = init_variables(model, f0, pyr.as_jax_inputs(), train=False)
+
+    peel = PeelConfig(res=res, max_boxes=8, max_iters=16)
+    got = evaluate_scenes_sharded(
+        model, variables, scenes, res=res, peel=peel, cap_multiple=512,
+        grid_multiple=(16, 16, 16),
+    )
+    assert set(got) == {"s0", "s1", "s2"}
+
+    pipe = DetectionPipeline(
+        model=model, variables=variables, res=res, num_rots=120,
+        peel=peel, cap_multiple=512, backbone="sparse",
+        grid_multiple=(16, 16, 16), retry_on_truncation=False,
+    )
+    for id_scan, coords, feats_raw in scenes:
+        want = pipe.postprocess(
+            pipe.run_scene(pipe.prepare_quantized(coords, feats_raw)))
+        assert len(got[id_scan]) == len(want)
+        for (n1, b1, s1), (n2, b2, s2) in zip(got[id_scan], want):
+            assert n1 == n2
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__ as graft
 

@@ -84,6 +84,69 @@ def test_proposal_sampler_finds_objects(rng):
     assert (dB < 0.4).mean() > 0.08, f"only {(dB < 0.4).mean():.2f} near B"
 
 
+def test_brnetcanon_sampler_contract(rng):
+    """BRNetCanonSampler.propose reproduces the sample_mod=='custom'
+    contract (reference brnetcanon.py:210-249): feats_dict keys/shapes,
+    mmdet3d-axis outputs, per-sample loop over a ragged batch, and a
+    frozen backbone (identical variables before/after)."""
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+    from canonicalvoting_tpu.ops.coords import PyramidSpec, build_pyramid
+    from canonicalvoting_tpu.ops.voxelize import (
+        batched_coordinates,
+        sparse_quantize,
+    )
+    from canonicalvoting_tpu.sunrgbd.brnetcanon import BRNetCanonSampler
+    from canonicalvoting_tpu.train.steps import init_variables
+
+    # tiny frozen voting backbone: 8 head channels (xyz 3 + scale 3 + 2)
+    model = MinkUNetBase(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=(8, 16, 16, 16, 16, 16, 8, 8), init_dim=8,
+        compute_dtype="float32",
+    )
+    # ragged batch of 2 point clouds in mmdet3d axes (z up): different
+    # sizes exercise the per-sample loop (:216, :232)
+    # anisotropic extents so a missed y<->z re-permutation moves
+    # proposals outside the AABB
+    pts = [
+        rng.uniform([0, 0, 0], [2.0, 1.6, 0.4], (900, 3)).astype(np.float32),
+        rng.uniform([0, 0, 0], [1.8, 1.4, 0.3], (700, 3)).astype(np.float32),
+    ]
+    pc0 = pts[0][:, [0, 2, 1]]
+    coords0, _ = sparse_quantize(pc0, 0.03)
+    pyr0 = build_pyramid(batched_coordinates([coords0]),
+                         PyramidSpec(cap_multiple=1024))
+    f0 = np.zeros((pyr0.coords[0].shape[0], 3), np.float32)
+    variables = init_variables(model, f0, pyr0.as_jax_inputs(), train=False)
+
+    sampler = BRNetCanonSampler(
+        model=model, variables=variables, num_rots=12, num_proposal=32,
+        cap_multiple=1024, grid_multiple=(16, 16, 16),
+    )
+    vote_points = rng.uniform(0, 1.2, (2, 16, 3)).astype(np.float32)
+    before = jax.tree_util.tree_leaves(variables)
+    out = sampler.propose(pts, vote_points, key=jax.random.PRNGKey(1))
+
+    assert set(out) == {"proposals", "probs", "scales"}  # (:247-249)
+    assert out["proposals"].shape == (2, 32, 3)
+    assert out["probs"].shape == (2, 32)
+    assert out["scales"].shape == (2, 32, 3)
+    assert np.all(out["probs"] == 0.0)  # (:161) probs are zeros
+    after = jax.tree_util.tree_leaves(sampler.variables)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # outputs are back in mmdet3d axes: proposals must lie inside the
+    # input cloud's AABB (voting can only land on occupied-extent cells),
+    # which differs between y and z — catching a missed re-permutation
+    for b in range(2):
+        lo, hi = pts[b].min(0) - 0.1, pts[b].max(0) + 0.1
+        assert np.all(out["proposals"][b] >= lo - 1e-5)
+        assert np.all(out["proposals"][b] <= hi + 1e-5)
+    # deterministic under a fixed key
+    out2 = sampler.propose(pts, vote_points, key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(out["proposals"], out2["proposals"])
+
+
 def test_proposal_sampler_keeps_near_seed(rng):
     """Reference semantics (brnetcanon.py:142-155): candidates within 0.3m
     of a vote seed are KEPT, others rejected. A seed at object A must
