@@ -62,8 +62,9 @@ def bench_separate():
     else:
         _, feats0, pyr0 = prepped[0][:3]
         var1 = jax.jit(model.init)(jax.random.PRNGKey(0), feats0, pyr0)
-    pipe.stacked_variables = jax.tree_util.tree_map(
-        lambda x: jnp_stack9(x), var1)
+    # 9 per-category weight sets; group_size="auto" lane-packs them into
+    # block-diagonal grouped nets on the TPU dense path (eval/grouped.py)
+    pipe.set_variables_list([var1] * 9)
 
     for args in prepped:
         out = pipe.run_scene(args)
@@ -165,12 +166,6 @@ def bench_train():
     }))
 
 
-def jnp_stack9(x):
-    import jax.numpy as jnp
-
-    return jnp.stack([x] * 9)
-
-
 def main():
     import jax
 
@@ -198,13 +193,10 @@ def main():
     ]
 
     model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
-    # CV_INT8=1: A/B the int8 backbone mode (activation calibration on the
-    # warmup scenes, then int8 conv stacks)
-    int8 = bool(int(os.environ.get("CV_INT8", "0")))
     pipe = DetectionPipeline(
         model=model, variables=None, res=res, num_rots=120,
         peel=PeelConfig(res=res, max_boxes=64, max_iters=96),
-        cap_multiple=8192, backbone="dense", quantize=int8,
+        cap_multiple=8192, backbone="dense",
     )
     # init variables under jit with the first scene's dense geometry
     args0 = pipe.prepare_scene(scenes[0].points, scenes[0].rgb)
@@ -218,10 +210,6 @@ def main():
 
     # Host prep outside the timed loop (overlappable with device in prod)
     prepped = [pipe.prepare_scene(s.points, s.rgb) for s in scenes]
-
-    if int8:
-        for args in prepped:
-            pipe.calibrate_scene(args)
 
     # Warmup / compile every distinct shape; int() is a real sync barrier
     for args in prepped:

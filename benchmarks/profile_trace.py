@@ -4,7 +4,7 @@ Traces run_scene, parses the trace.json.gz, aggregates TPU op durations by
 category and prints the top individual ops. This is the tool behind the
 "convs X + reshapes Y + ..." breakdowns in RESULTS_r3.md.
 
-Usage: python benchmarks/profile_trace.py [--int8] [--top N]
+Usage: python benchmarks/profile_trace.py [--top N]
 """
 import glob
 import gzip
@@ -61,11 +61,10 @@ def main():
     scene = make_scene(rng, extent=(6.0, 2.5, 7.0), n_background=50000,
                        n_boxes=6, pts_per_box=3000)
     model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
-    int8 = "--int8" in sys.argv
     pipe = DetectionPipeline(
         model=model, variables=None, res=0.03, num_rots=120,
         peel=PeelConfig(res=0.03, max_boxes=64, max_iters=96),
-        cap_multiple=8192, backbone="dense", quantize=int8)
+        cap_multiple=8192, backbone="dense")
     args = pipe.prepare_scene(scene.points, scene.rgb)
     feats, flat, valid = args[1], args[2], args[3]
     dense_dims = args[6]
@@ -73,8 +72,6 @@ def main():
     pipe.variables = jax.jit(
         lambda r, f, fi, v: dm.init(r, f, fi, v, tuple(dense_dims), False)
     )(jax.random.PRNGKey(0), feats, flat, valid)
-    if int8:
-        pipe.calibrate_scene(args)
 
     out = pipe.run_scene(args)
     int(out["n_boxes"])

@@ -44,12 +44,12 @@ TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
 # boundaries, whose dict-key sort rejects mixed int/str keys).
 STEM_KEY = -1
 # (8,8,32)x2 -> (4,2,8)x32: 34 -> 18 ms (benchmarks/bench_stem.py,
-# bench_diag4.py) — the k=5 stem is fold-bound, so fewer covered cells
+# RESULTS_r3.md) — the k=5 stem is fold-bound, so fewer covered cells
 # beat fewer DMAs; sub-128-cell tiles ride the group-major occ pack
 STEM_TILE_PLAN: Tuple[Tuple[int, int, int], int] = ((4, 2, 8), 32)
 
 # dedicated lists for the expensive level-transition kernels
-# (bench_diag4/5.py, bench_up2v2.py). The up-into-L0 kernel
+# (bench_up2v2.py + round-3 sweeps, RESULTS_r3.md). The up-into-L0 kernel
 # (tiled_up2_into) pays 8 lane-sliced DMAs per tile, so it wants the
 # COARSEST list; the down-into-L1 kernel wants a fine list (fewer covered
 # cells). Keyed by negative ints (the tiles dict crosses jax pytree
@@ -70,7 +70,7 @@ TRANS_TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
 # coarser lists (the up kernel needs tile z % 16); the conv kernels track
 # the occupied surface tighter — sub-128-cell tiles are legal through the
 # group-major occupancy pack (pack_occ_group). Sweep:
-# benchmarks/bench_diag2.py / bench_diag3.py.
+# round-3 sweeps (benchmarks/RESULTS_r3.md).
 CONV_KEY_OFF = 10
 CONV_TILE_PLAN: Dict[int, Tuple[Tuple[int, int, int], int]] = {
     0: ((2, 2, 8), 64),

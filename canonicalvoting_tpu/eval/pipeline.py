@@ -113,7 +113,7 @@ def prepare_scene_args(coords: np.ndarray, feats_raw: np.ndarray, *,
         if conv_impl != "xla":
             # level_tiles now carries dedicated fine conv lists
             # (CONV_TILE_PLAN keys) — the z-run decomposition measured a
-            # wash against them (benchmarks/bench_diag2.py) and is no
+            # wash against them (round-3 sweep, RESULTS_r3.md) and is no
             # longer generated here; assemble_runs stays for callers that
             # thread explicit runs
             tiles = level_tiles(coords, base, dense_dims)
@@ -208,10 +208,6 @@ class DetectionPipeline:
     # peeled argmax cells (vote_stats_at_cell) — same math, ~6x less vote
     # MXU work. True/False, or "auto" (on, except interpret-mode tests).
     lazy_rot_scale: object = "auto"
-    # int8 inference for the tiled backbone's block conv stacks (see
-    # models/dense_unet.py `quantize`). Requires calibrate_scene() on one
-    # or more representative scenes after setting `variables`.
-    quantize: bool = False
     # The reference peels until the peak drops below thresh_high with no
     # iteration bound (eval_joint.py:204); the on-device loop is budgeted
     # (PeelConfig.max_iters/max_boxes) and reports `truncated` when a budget
@@ -244,41 +240,7 @@ class DetectionPipeline:
             init_dim=m.init_dim, stem_kernel=m.stem_kernel,
             compute_dtype=m.compute_dtype, bn_axis=m.bn_axis,
             conv_impl=self.conv_impl, stem_impl=self.stem_impl,
-            quantize=self.quantize,
         )
-
-    @functools.cached_property
-    def _calibrate_fn(self):
-        dense_model = self._dense_model
-
-        @functools.partial(jax.jit,
-                           static_argnames=("dense_dims", "run_spec"))
-        def calibrate_fn(variables, feats, flat_idx, valid, dense_dims,
-                         tiles=None, run_spec=(), run_tiles=None,
-                         occ_packs=None):
-            _, upd = dense_model.apply(
-                variables, feats, flat_idx, valid, dense_dims, False,
-                tiles=tiles, tile_runs=assemble_runs(run_spec, run_tiles),
-                occ_packs=occ_packs, calibrate=True, mutable=["quant"],
-            )
-            return upd["quant"]
-
-        return calibrate_fn
-
-    def calibrate_scene(self, args):
-        """int8 activation calibration (quantize=True, dense path): run
-        one calibration forward on a prepared scene and fold the observed
-        per-channel absmax into `variables` (max-merge across calls)."""
-        assert self.quantize and args[0] == "dense"
-        (_, feats, flat, valid, _cw, _gs, dense_dims, tiles, run_spec,
-         run_tiles, occ_packs) = args
-        quant = self._calibrate_fn(
-            self.variables, feats, flat, valid, tuple(dense_dims),
-            tiles=tiles, run_spec=run_spec, run_tiles=run_tiles,
-            occ_packs=occ_packs)
-        merged = jax.tree_util.tree_map(
-            jnp.maximum, self.variables["quant"], quant)
-        self.variables = {**self.variables, "quant": merged}
 
     @functools.cached_property
     def _tail_cache(self):

@@ -54,6 +54,16 @@ class SeparateDetectionPipeline:
     model: object                     # flax MinkUNetBase (out_channels=8)
     stacked_variables: Dict           # leaves stacked on axis 0 (9, ...)
     categories: List[str] = None
+    # lane-pack ``group_size`` categories per backbone pass (eval/grouped
+    # .py): the dense path then scans ceil(9/N) block-diagonal grouped nets
+    # instead of 9 single nets. Measured on TPU v5e (RESULTS_r4.md):
+    # N=2 is a net LOSS e2e (0.99 vs 1.31 scenes/s) — the <=64-channel
+    # levels pack for free (lane padding absorbs them), but the 96/256-
+    # channel levels that dominate the profile pay ~2x bytes + 4x
+    # block-diagonal FLOPs per call. Kept as an opt-in for narrow-plane
+    # model families where every level packs free; "auto" = 1.
+    # Requires variables via set_variables_list().
+    group_size: object = "auto"
     res: float = 0.03
     num_rots: int = 120
     log_scale: bool = True
@@ -91,6 +101,12 @@ class SeparateDetectionPipeline:
             self.conv_impl = "tiled" if on_tpu else "xla"
         if self.lazy_rot_scale == "auto":
             self.lazy_rot_scale = True
+        if self.group_size == "auto":
+            self.group_size = 1
+        if self.backbone != "dense":
+            # lane packing is a dense-path optimization; the sparse vmap
+            # path keeps per-category variables
+            self.group_size = 1
 
     # ------------------------------------------------------------------
     @functools.cached_property
@@ -105,6 +121,37 @@ class SeparateDetectionPipeline:
             compute_dtype=m.compute_dtype, bn_axis=m.bn_axis,
             conv_impl=self.conv_impl, stem_impl=self.stem_impl,
         )
+
+    @functools.cached_property
+    def _grouped_dense_model(self):
+        from canonicalvoting_tpu.eval.grouped import grouped_model_config
+        from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+
+        return DenseMinkUNet(
+            conv_impl=self.conv_impl, stem_impl=self.stem_impl,
+            **grouped_model_config(self.model, self.group_size))
+
+    def set_variables_list(self, variables_list: List[Dict]):
+        """Install per-category variables (list of ``len(categories)``
+        pytrees).  With ``group_size`` N > 1, categories are packed into
+        ceil(C/N) block-diagonal grouped nets (eval/grouped.py), padding
+        the tail group by repeating the last category (its outputs are
+        dropped in postprocess)."""
+        from canonicalvoting_tpu.eval.grouped import build_grouped_variables
+
+        n = self.group_size
+        C = len(self.categories)
+        assert len(variables_list) == C
+        if n == 1:
+            self.stacked_variables = stack_variables(variables_list)
+            return
+        pad = (-C) % n
+        vs = list(variables_list) + [variables_list[-1]] * pad
+        groups = [
+            build_grouped_variables(vs[i:i + n], self.model)
+            for i in range(0, len(vs), n)
+        ]
+        self.stacked_variables = stack_variables(groups)
 
     def _vote_and_peel(self, xyz, scale, prob, coords_w, valid, grid_shape,
                        peel: PeelConfig = None):
@@ -180,7 +227,10 @@ class SeparateDetectionPipeline:
     def _scene_fn_dense_for(self, peel: PeelConfig):
         if ("dense", peel) in self._scene_fn_cache:
             return self._scene_fn_cache[("dense", peel)]
-        dense_model = self._dense_model
+        n = self.group_size
+        dense_model = self._dense_model if n == 1 \
+            else self._grouped_dense_model
+        out_ch = self.model.out_channels
         log_scale = self.log_scale
 
         @functools.partial(jax.jit,
@@ -210,7 +260,7 @@ class SeparateDetectionPipeline:
                     compute_dtype=m.compute_dtype, stem_impl=m.stem_impl)
                 donors = fresh_l0_donors(dense_dims, m.compute_dtype)
 
-            def per_category(carry, variables):
+            def per_group(carry, variables):
                 out = dense_model.apply(
                     variables, feats, flat, valid, dense_dims, False,
                     tiles=tiles,
@@ -221,16 +271,32 @@ class SeparateDetectionPipeline:
                     out, new_carry = out
                 else:
                     new_carry = carry
-                xyz, scale, prob = slice_separate_heads(out)
-                if log_scale:
-                    scale = jnp.exp(scale)
-                return new_carry, self._vote_and_peel(
-                    xyz, scale, prob, coords_w, valid, grid_shape, peel=peel)
+                # lane-packed group (eval/grouped.py): the head rows carry
+                # n categories' 8-channel heads category-major; vote + peel
+                # run per category on its slice
+                results = []
+                for c in range(n):
+                    xyz, scale, prob = slice_separate_heads(
+                        out[:, c * out_ch:(c + 1) * out_ch])
+                    if log_scale:
+                        scale = jnp.exp(scale)
+                    results.append(self._vote_and_peel(
+                        xyz, scale, prob, coords_w, valid, grid_shape,
+                        peel=peel))
+                if n == 1:
+                    return new_carry, results[0]
+                return new_carry, jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs, 0), *results)
 
             # scan (not vmap): each backbone pass saturates the chip, so the
-            # categories run back-to-back inside one dispatch; scanning also
+            # groups run back-to-back inside one dispatch; scanning also
             # keeps the Pallas tiled kernels on their single-scene layout
-            _, outs = jax.lax.scan(per_category, donors, stacked_vars)
+            _, outs = jax.lax.scan(per_group, donors, stacked_vars)
+            if n > 1:
+                # (n_groups, n, ...) -> (n_groups * n, ...); padded tail
+                # categories are trimmed by postprocess
+                outs = jax.tree_util.tree_map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), outs)
             return outs
 
         self._scene_fn_cache[("dense", peel)] = scene_fn

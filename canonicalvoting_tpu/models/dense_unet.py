@@ -150,19 +150,12 @@ class DenseConv(nn.Module):
     use_bias: bool = False
     compute_dtype: str = "bfloat16"
     conv_impl: str = "xla"
-    # int8 inference mode: declare a per-channel activation absmax variable
-    # (collection "quant") filled by calibration runs and consumed as the
-    # output requant scale (see tiled_conv3d's x_scale/out_scale)
-    quantizable: bool = False
-
     @nn.compact
     def __call__(self, x, tiles=None, ts_group=None, scale=None, bias=None,
                  occ=None, residual=None, res_w=None, res_scale=None,
                  res_bias=None, relu_out: bool = False, rows: bool = False,
                  return_kernel: bool = False, in_perm=None,
                  prefold: bool = False, replicated: bool = False,
-                 x_scale=None, res_x_scale=None,
-                 quant_out: bool = False, calibrate: bool = False,
                  donate=None):
         k = self.kernel_size
         w = self.param(
@@ -170,13 +163,6 @@ class DenseConv(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) \
             if self.use_bias else None
-        qvar = None
-        if self.quantizable:
-            qvar = self.variable(
-                "quant", "absmax",
-                lambda: jnp.zeros((self.out_channels,), jnp.float32))
-        assert qvar is not None or not (quant_out or calibrate), \
-            "quant_out/calibrate need quantizable=True"
         if in_perm is not None:
             # input grid in a permuted channel layout (e.g. the [skip|conv]
             # order tiled_up2_into leaves behind): reorder kernel rows at
@@ -211,11 +197,7 @@ class DenseConv(nn.Module):
 
             assert b is None, "fused tiled conv folds bias via scale/bias"
             ts, group = ts_group
-            if x_scale is not None:
-                # int8 input grid: already 128-lane padded by its producer
-                assert x.dtype == jnp.int8 and not prefold
-                xin = x[0]
-            elif prefold:
+            if prefold:
                 # (dy, dz) taps folded into lanes by an XLA pass; the
                 # kernel then runs pointwise windows (only dx expands)
                 xin = fold_dydz(xc[0, ..., :self.in_channels], k)
@@ -223,15 +205,9 @@ class DenseConv(nn.Module):
                 xin = pad_lanes(xc[0], _lanes(self.in_channels))
             res = None
             if residual is not None:
-                if residual.dtype == jnp.int8:
-                    res = residual[0]
-                else:
-                    res = residual[0].astype(dt)
-                    if res_w is None:
-                        res = pad_lanes(res, _lanes(self.out_channels))
-            out_scale = None
-            if quant_out:
-                out_scale = jnp.maximum(qvar.value, 1e-6) / 127.0
+                res = residual[0].astype(dt)
+                if res_w is None:
+                    res = pad_lanes(res, _lanes(self.out_channels))
             # tiles: a plain (T, 3) array, or a z-run decomposition
             # [(R, group, chunks), ...] (data.dense_prep.level_tile_runs) —
             # one pallas_call per run length, chained through a donated
@@ -254,7 +230,7 @@ class DenseConv(nn.Module):
             # Shape/dtype mismatches fall back to fresh zeros.
             outbuf = None
             res_ip = False
-            if donate is not None and x_scale is None and not quant_out:
+            if donate is not None:
                 cand = donate[0] if donate.ndim == 5 else donate
                 if (cand.shape == xin.shape[:3]
                         + (_lanes(self.out_channels),)
@@ -265,22 +241,14 @@ class DenseConv(nn.Module):
                         res = None
             for (R, Gr, t), occ_c in zip(run_list, occ_list):
                 outbuf = tiled_conv3d(
-                    xin, w.astype(jnp.float32 if x_scale is not None else dt),
-                    t, kernel_size=k,
+                    xin, w.astype(dt), t, kernel_size=k,
                     scale=scale, bias=bias, occ=occ_c, residual=res,
                     res_w=res_w, res_scale=res_scale, res_bias=res_bias,
-                    x_scale=x_scale, out_scale=out_scale,
-                    res_x_scale=res_x_scale, res_in_place=res_ip,
+                    res_in_place=res_ip,
                     relu_out=relu_out, tile_shape=ts, group=Gr, zrun=R,
                     out=outbuf, prefolded=prefold, replicated=replicated,
                     interpret=(self.conv_impl == "tiled_interpret"),
                 )
-            if calibrate:
-                m = jnp.max(jnp.abs(outbuf.astype(jnp.float32)),
-                            axis=(0, 1, 2))[:self.out_channels]
-                qvar.value = jnp.maximum(qvar.value, m)
-            if quant_out:
-                return outbuf[None], out_scale
             return outbuf[None]
         assert scale is None and occ is None and residual is None \
             and not relu_out, "epilogue fusion requires the tiled path"
@@ -339,23 +307,19 @@ class DenseBasicBlock(nn.Module):
     compute_dtype: str = "bfloat16"
     bn_axis: str = ""
     conv_impl: str = "xla"
-    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, occ, train: bool, momentum=0.1, tiles=None,
                  ts_group=None, occp=None, occe=None, block_group=None,
-                 in_perm=None, quant_out: bool = False,
-                 calibrate: bool = False, c1_buf=None):
+                 in_perm=None, c1_buf=None):
         conv1 = DenseConv(self.in_channels, self.planes, 3,
                           compute_dtype=self.compute_dtype,
-                          conv_impl=self.conv_impl,
-                          quantizable=self.quantize, name="conv1")
+                          conv_impl=self.conv_impl, name="conv1")
         norm1 = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
                                name="norm1")
         conv2 = DenseConv(self.planes, self.planes, 3,
                           compute_dtype=self.compute_dtype,
-                          conv_impl=self.conv_impl,
-                          quantizable=self.quantize, name="conv2")
+                          conv_impl=self.conv_impl, name="conv2")
         norm2 = DenseBatchNorm(self.planes, axis_name=self.bn_axis,
                                name="norm2")
         downsample = self.in_channels != self.planes
@@ -399,24 +363,6 @@ class DenseBasicBlock(nn.Module):
                     tile_shape=ts_group[0], group=block_group,
                     interpret=(self.conv_impl == "tiled_interpret"),
                 )[None]
-            if self.quantize and not calibrate:
-                # int8 segment: conv1 always emits int8 (its calibrated
-                # requant scale); conv2 emits int8 unless this is the
-                # stack's last block (quant_out=False -> bf16 exit, so the
-                # down/up/head neighbors stay unquantized). The input is a
-                # bf16 grid at the segment entry or an (int8 grid, scale)
-                # tuple mid-stack; residuals ride whichever form x has.
-                xg, xs = x if isinstance(x, tuple) else (x, None)
-                o1, s1 = conv1(xg, tiles, ts_group, scale=a1, bias=b1,
-                               occ=occp, relu_out=True, in_perm=in_perm,
-                               x_scale=xs, quant_out=True)
-                kw2 = dict(scale=a2, bias=b2, occ=occp, residual=xg,
-                           x_scale=s1, res_x_scale=xs, relu_out=True,
-                           quant_out=quant_out)
-                if downsample:
-                    kw2.update(res_w=wds, res_scale=ars, res_bias=brs)
-                out = conv2(o1, tiles, ts_group, **kw2)
-                return out  # tuple iff quant_out
             # two-conv fused path: BN folded to per-channel affine +
             # occupancy mask + (1x1-downsampled) residual add + relu in
             # the conv kernels' epilogues. Buffer reuse: conv1 writes into
@@ -426,18 +372,16 @@ class DenseBasicBlock(nn.Module):
             # x is dead after this block in every stack).
             d1 = c1_buf[0] if c1_buf else None
             out = conv1(x, tiles, ts_group, scale=a1, bias=b1, occ=occp,
-                        relu_out=True, in_perm=in_perm, calibrate=calibrate,
-                        donate=d1)
+                        relu_out=True, in_perm=in_perm, donate=d1)
             if c1_buf is not None:
                 c1_buf[0] = out
             if downsample:
                 return conv2(out, tiles, ts_group, scale=a2, bias=b2,
                              occ=occp, residual=x,
                              res_w=wds, res_scale=ars, res_bias=brs,
-                             relu_out=True, calibrate=calibrate, donate=x)
+                             relu_out=True, donate=x)
             return conv2(out, tiles, ts_group, scale=a2, bias=b2, occ=occp,
-                         residual=x, relu_out=True, calibrate=calibrate,
-                         donate=x)
+                         residual=x, relu_out=True, donate=x)
 
         def residual():
             if downsample:
@@ -687,29 +631,17 @@ class DenseMinkUNet(nn.Module):
     # the k=5 stem: "tiled" (Pallas compact fold on STEM_TILE_PLAN tiles)
     # or "xla" (dense conv)
     stem_impl: str = "tiled"
-    # int8 inference for the basic-block conv stacks (tiled path only):
-    # (int8, int8) -> int32 MXU matmuls with per-channel requant fused into
-    # the conv epilogues; stem/down/up/head stay bf16 and the segment
-    # boundaries convert inside the conv epilogues (no full-grid passes).
-    # Requires a calibration pass (apply with calibrate=True,
-    # mutable=["quant"]) to fill the per-channel activation absmax vars.
-    quantize: bool = False
 
     def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
                 tiles=None, ts_group=None, occp=None, occe=None,
-                block_group=None, in_perm=None, quantize=False,
-                calibrate=False, donate_first=None, return_c1=False):
+                block_group=None, in_perm=None,
+                donate_first=None, return_c1=False):
         blk = _DENSE_BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
         kw = {}
-        bkw = {}
         if blk is DenseBasicBlock:
             kw = dict(occe=occe, block_group=block_group)
-            # structure (variable declaration) follows the MODEL attribute so
-            # init/apply see the same tree whether or not this call runs the
-            # tiled path; runtime int8 behavior is gated by `quantize`
-            bkw = dict(quantize=self.quantize)
         # seed the conv1-reuse slot with a DEAD same-shape grid from the
         # caller (e.g. the up's consumed skip) so even the stack's first
         # conv1 skips its full-grid zero fill
@@ -719,14 +651,11 @@ class DenseMinkUNet(nn.Module):
                 # only the group's first block sees the up kernel's
                 # [skip|conv] concat layout
                 kw["in_perm"] = in_perm if j == 0 else None
-                # int8 segment spans the stack; the last block exits bf16
-                kw["quant_out"] = quantize and j < n_blocks - 1
-                kw["calibrate"] = calibrate
                 # conv1 buffer reuse across the stack (see DenseBasicBlock)
                 kw["c1_buf"] = c1_buf
             x = blk(ch, planes, compute_dtype=self.compute_dtype,
                     bn_axis=self.bn_axis, conv_impl=self.conv_impl,
-                    name=f"{name}_{j}", **bkw)(
+                    name=f"{name}_{j}")(
                 x, occ, train, mom, tiles=tiles, ts_group=ts_group,
                 occp=occp, **kw)
             ch = planes * exp
@@ -738,7 +667,7 @@ class DenseMinkUNet(nn.Module):
     @nn.compact
     def __call__(self, feats, flat_idx, valid, grid_dims: Tuple[int, int, int],
                  train: bool = False, bn_momentum=0.1, tiles=None,
-                 n_scenes: int = 1, tile_runs=None, calibrate: bool = False,
+                 n_scenes: int = 1, tile_runs=None,
                  occ_packs=None, shared=None, donors=None):
         from canonicalvoting_tpu.data.dense_prep import (
             CONV_KEY_OFF, CONV_TILE_PLAN, STEM_KEY, STEM_TILE_PLAN,
@@ -756,10 +685,7 @@ class DenseMinkUNet(nn.Module):
         tiled = bool(tiles) and self.conv_impl != "xla" and not train
         assert not (tiled and n_scenes != 1), \
             "the tiled path is single-scene; batched grids use the XLA path"
-        quant = (self.quantize and tiled and self.block == "basic"
-                 and not train)
-        assert not calibrate or quant, \
-            "calibrate requires quantize=True on the tiled basic-block path"
+
         def _plan(key):
             if key == STEM_KEY:
                 return STEM_TILE_PLAN
@@ -923,7 +849,7 @@ class DenseMinkUNet(nn.Module):
             bn = DenseBatchNorm(ch, axis_name=self.bn_axis,
                                 name=f"bn{i + 1}")
             # down into level i+1 rides its dedicated fine TRANS list when
-            # present (bench_diag5.py), else the level's TILE_PLAN list
+            # present (round-3 sweep, RESULTS_r3.md), else the level's TILE_PLAN list
             key = TRANS_KEYS.get(("down", i + 1), i + 1)
             if key not in tiles:
                 key = i + 1
@@ -953,8 +879,7 @@ class DenseMinkUNet(nn.Module):
                 f"block{i + 1}", x, occ[i + 1], ch, pl_[i], ly[i], train,
                 mom, tiles=ct, ts_group=cts, occp=cocc,
                 occe=occp_e.get(i + 1),
-                block_group=BLOCK_GROUP.get(i + 1),
-                quantize=quant, calibrate=calibrate)
+                block_group=BLOCK_GROUP.get(i + 1))
             skips.append(x)
 
         # --- decoder
@@ -1041,7 +966,6 @@ class DenseMinkUNet(nn.Module):
                 train, mom, tiles=ct, ts_group=cts, occp=cocc,
                 occe=occp_e.get(lvl),
                 block_group=BLOCK_GROUP.get(lvl), in_perm=in_perm,
-                quantize=quant, calibrate=calibrate,
                 donate_first=donate_first, return_c1=want_c1)
             if want_c1:
                 x, ch, last_c1 = res

@@ -491,7 +491,7 @@ def hough_voting_obj(
 
     ``rot_chunk`` is the XLA path's scan-memory knob; the plane-splat
     kernel uses ``pallas_rot_chunk`` (its matmul contraction depth,
-    swept in benchmarks/bench_diag4.py / bench_vote2.py).
+    swept in bench_vote2.py; round-3 results in benchmarks/RESULTS_r3.md).
 
     Inference fast path: the plane-splat kernel runs with a single channel
     (1/6 the matmul width); pair with ``vote_stats_at_cell`` for the few

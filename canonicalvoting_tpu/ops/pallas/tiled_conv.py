@@ -87,8 +87,7 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
             k: int, n_steps: int, G: int, NTY: int, NTZ: int, out_dtype,
             prefolded: bool, compact: bool, has_affine: bool, has_occ: bool,
             has_res: bool, has_res_w: bool, res_cp: int, relu_out: bool,
-            ZR: int = 1, occ_group: bool = False, int8_in: bool = False,
-            out_q: bool = False, has_res_deq: bool = False,
+            ZR: int = 1, occ_group: bool = False,
             res_from_out: bool = False, replicated: bool = False):
     h = k // 2
     # z-run: each tile-list entry covers ZR z-adjacent tiles with ONE DMA
@@ -102,7 +101,6 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     res_hbm = next(it) if (has_res and not res_from_out) else None
     rw_ref = next(it) if has_res_w else None
     rab_ref = next(it) if has_res_w else None
-    rdq_ref = next(it) if has_res_deq else None
     _zeros = next(it)
     out_ref = next(it)
     in_tile = next(it)
@@ -296,21 +294,15 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
         src = in_tile[slot]
         kw = cin_p
 
-    # int8 mode: (int8, int8) -> int32 on the MXU (2.2x bf16 throughput at
-    # this shape, benchmarks/bench_int8*.py); K <= 1152 keeps |acc| <=
-    # 127*127*1152 ~ 1.9e7 < 2^24, so the int32 -> f32 cast below is exact
-    acc_t = jnp.int32 if int8_in else jnp.float32
     acc_v = None
     for dx in range(k):
         a = src[dx:dx + TX].reshape(rows, kw)
         part = jax.lax.dot_general(
             a, w_ref[dx],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc_t,
+            preferred_element_type=jnp.float32,
         )
         acc_v = part if acc_v is None else acc_v + part
-    if int8_in:
-        acc_v = acc_v.astype(jnp.float32)
 
     # fused epilogue — reference order conv -> BN(mask) -> +res -> relu;
     # affine-then-mask equals mask-then-affine for occ in {0, 1}
@@ -349,30 +341,20 @@ def _kernel(txs_ref, tys_ref, tzs_ref, *args,
     if has_res:
         rrows = res_tile[slot].reshape(rows, res_cp)
         if has_res_w:
-            # fused downsample branch: 1x1 conv + BN affine + mask. An int8
-            # residual rides the same int8 MXU path (rw is quantized with
-            # the input scales folded in; rab carries the dequant).
+            # fused downsample branch: 1x1 conv + BN affine + mask
             rv = jax.lax.dot_general(
                 rrows, rw_ref[0],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=(jnp.int32 if rrows.dtype == jnp.int8
-                                        else jnp.float32),
-            ).astype(jnp.float32)
+                preferred_element_type=jnp.float32,
+            )
             rv = rv * rab_ref[0:1, :] + rab_ref[1:2, :]
             if has_occ:
                 rv = rv * occm
-        elif has_res_deq:
-            # int8 residual grid: per-channel dequant to the f32 domain
-            rv = rrows.astype(jnp.float32) * rdq_ref[0:1, :]
         else:
             rv = rrows.astype(jnp.float32)
         acc_v = acc_v + rv
     if relu_out:
         acc_v = jnp.maximum(acc_v, 0.0)
-    if out_q:
-        # requantize: the affine above already divided by the output scale
-        lo = 0.0 if relu_out else -127.0
-        acc_v = jnp.clip(jnp.round(acc_v), lo, 127.0)
 
     acc[slot] = acc_v.astype(out_dtype).reshape(TX, G, TY, TZe, cout)
 
@@ -471,9 +453,6 @@ def tiled_conv3d(
     res_w: Optional[jnp.ndarray] = None,
     res_scale: Optional[jnp.ndarray] = None,
     res_bias: Optional[jnp.ndarray] = None,
-    x_scale: Optional[jnp.ndarray] = None,
-    out_scale: Optional[jnp.ndarray] = None,
-    res_x_scale: Optional[jnp.ndarray] = None,
     res_in_place: bool = False,
     replicated: bool = False,
     relu_out: bool = False,
@@ -502,16 +481,6 @@ def tiled_conv3d(
         bias = beta - mean*scale). Both or neither.
       occ: optional (T, cells/128, 128) f32 per-tile occupancy (see
         pack_occ); output cells with occ == 0 are zeroed.
-      x_scale: REQUIRED iff x is int8 — per-channel (Cin,) f32 dequant
-        scales of the input grid (true value = q * x_scale[c]). Folded into
-        the weights before per-output-channel symmetric int8 quantization,
-        so the matmuls run (int8, int8) -> int32 on the MXU (~2.2x bf16 at
-        this shape) and the dequant rides the existing affine epilogue.
-      out_scale: optional per-channel (Cout,) f32 — requantize the epilogue
-        result to an int8 output grid (q = clip(round(y / out_scale), ...));
-        the division is folded into the affine. None = float output.
-      res_x_scale: per-channel dequant scales of an int8 ``residual``
-        (with ``res_w`` they fold into the quantized 1x1 weights).
       residual: optional margined grid added before the ReLU. With
         ``res_w`` (Cr, Cout), the residual rows first pass through a fused
         1x1 conv + ``res_scale``/``res_bias`` affine + occupancy mask —
@@ -556,8 +525,6 @@ def tiled_conv3d(
         # => true aliasing, no copy-insertion, no zero fill)
         assert residual is None and out is not None, \
             "res_in_place reads the residual from the donated out buffer"
-        assert x_scale is None and out_scale is None, \
-            "res_in_place is a bf16/f32-path optimization" 
     cells_t = TX * TY * TZe
     occ_group = False
     if has_occ:
@@ -577,44 +544,11 @@ def tiled_conv3d(
     cin_p = cp  # DMA lane width (already padded/folded by the caller)
     cout_p = _lanes(cout)
 
-    int8_in = x.dtype == jnp.int8
-    out_q = out_scale is not None
     if out_dtype is None:
-        out_dtype = jnp.int8 if out_q else (
-            jnp.bfloat16 if int8_in else x.dtype)
-    res_is_int8 = residual is not None and residual.dtype == jnp.int8
-    # residual-side dequant vector is needed whenever the plain-add residual
-    # is in a different numeric domain than the epilogue result: int8
-    # residual (dequant by its scales) and/or int8 output (divide by
-    # out_scale so the requant step maps it back)
-    has_res_deq = residual is not None and res_w is None and \
-        (res_is_int8 or out_q)
+        out_dtype = x.dtype
+    eff_scale, eff_bias = scale, bias
 
-    if int8_in:
-        assert x_scale is not None and x_scale.shape == (cin,), \
-            "int8 input grids need per-channel x_scale"
-        w_t = w.astype(jnp.float32) * x_scale[None, :, None]
-        sw = jnp.maximum(jnp.max(jnp.abs(w_t), axis=(0, 1)), 1e-12) / 127.0
-        w_k = jnp.clip(jnp.round(w_t / sw[None, None, :]), -127, 127)
-        eff_scale = sw * (scale.astype(jnp.float32)
-                          if scale is not None else 1.0)
-        eff_bias = (bias.astype(jnp.float32) if bias is not None
-                    else jnp.zeros((cout,), jnp.float32))
-        w_dtype = jnp.int8
-    else:
-        assert x_scale is None, "x_scale requires an int8 input grid"
-        w_k = w
-        eff_scale, eff_bias = scale, bias
-        w_dtype = x.dtype
-    if out_q:
-        assert out_scale.shape == (cout,)
-        inv_o = 1.0 / out_scale.astype(jnp.float32)
-        eff_scale = (eff_scale if eff_scale is not None
-                     else jnp.ones((cout,), jnp.float32)) * inv_o
-        eff_bias = (eff_bias if eff_bias is not None
-                    else jnp.zeros((cout,), jnp.float32)) * inv_o
-
-    wf = _fold_w(w_k, k, cin, cin_p, cout_p, w_dtype, prefolded)
+    wf = _fold_w(w, k, cin, cin_p, cout_p, x.dtype, prefolded)
     # chainable output: z-run decomposition runs one pallas_call per run
     # length, each donating the previous call's output and writing only its
     # own tiles
@@ -653,9 +587,7 @@ def tiled_conv3d(
         assert res_cp % 128 == 0, "residual grid needs 128-multiple lanes"
         if not has_res_w:
             assert res_cp == cout_p, (res_cp, cout_p)
-        operands.append(residual if res_is_int8
-                        else residual.astype(x.dtype if not int8_in
-                                             else jnp.bfloat16))
+        operands.append(residual.astype(x.dtype))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     if has_res_w:
         cr = res_w.shape[0]
@@ -663,37 +595,14 @@ def tiled_conv3d(
               else jnp.ones((cout,), jnp.float32))
         rb = (res_bias.astype(jnp.float32) if res_bias is not None
               else jnp.zeros((cout,), jnp.float32))
-        if res_is_int8:
-            assert res_x_scale is not None and res_x_scale.shape == (cr,)
-            rw_t = res_w.astype(jnp.float32) * res_x_scale[:, None]
-            srw = jnp.maximum(jnp.max(jnp.abs(rw_t), axis=0), 1e-12) / 127.0
-            rwq = jnp.clip(jnp.round(rw_t / srw[None, :]), -127, 127)
-            rw = jnp.pad(rwq, ((0, res_cp - cr), (0, cout_p - cout)))
-            operands.append(rw.astype(jnp.int8)[None])
-            rs = srw * rs
-        else:
-            rw = jnp.pad(res_w, ((0, res_cp - cr), (0, cout_p - cout)))
-            operands.append(rw.astype(x.dtype if not int8_in
-                                      else jnp.bfloat16)[None])
+        rw = jnp.pad(res_w, ((0, res_cp - cr), (0, cout_p - cout)))
+        operands.append(rw.astype(x.dtype)[None])
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        if out_q:
-            rs = rs * inv_o
-            rb = rb * inv_o
         rab = jnp.stack([
             jnp.pad(rs.astype(jnp.float32), (0, cout_p - cout)),
             jnp.pad(rb.astype(jnp.float32), (0, cout_p - cout)),
         ])
         operands.append(rab)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    if has_res_deq:
-        # per-channel residual dequant (x requant fold): true residual =
-        # q_res * res_x_scale; the epilogue works in the /out_scale domain
-        dq = (res_x_scale.astype(jnp.float32) if res_is_int8
-              else jnp.ones((cout,), jnp.float32))
-        if out_q:
-            dq = dq * inv_o
-        rdq = jnp.pad(dq, (0, res_cp - dq.shape[0]))[None]
-        operands.append(rdq)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     operands.append(out0)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # donated zeros
@@ -722,9 +631,7 @@ def tiled_conv3d(
                     else (2, G, cells_t // 128, 128))
         scratch.append(pltpu.VMEM(occ_vmem, jnp.float32))
     if has_res:
-        res_dt = out_dtype if res_in_place else (
-            jnp.int8 if res_is_int8 else (
-                x.dtype if not int8_in else jnp.bfloat16))
+        res_dt = out_dtype if res_in_place else x.dtype
         scratch.append(pltpu.VMEM((2, TX, G, TY, TZe, res_cp), res_dt))
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_in
     scratch.append(pltpu.SemaphoreType.DMA((2, G)))  # sem_out
@@ -739,7 +646,6 @@ def tiled_conv3d(
         prefolded=prefolded, compact=compact, has_affine=has_affine,
         has_occ=has_occ, has_res=has_res, has_res_w=has_res_w,
         res_cp=res_cp, relu_out=relu_out, ZR=zrun, occ_group=occ_group,
-        int8_in=int8_in, out_q=out_q, has_res_deq=has_res_deq,
         res_from_out=res_in_place, replicated=replicated,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1987,7 +1893,7 @@ def _up2v2_kernel(txs_ref, tys_ref, tzs_ref, *args, TX, TY, TZ, cin_p, skip_c, c
     # (cols [skip_c : skip_c + cout] of each block hold W[d], the rest are
     # zero). The per-parity results leave through full-lane-block DMAs
     # instead of the old kernel's 8 strided VPU scatters (which bound it at
-    # ~40x its MXU cost, benchmarks/bench_diag6.py).
+    # ~40x its MXU cost, round-3 sweep, benchmarks/RESULTS_r3.md).
     res = jax.lax.dot_general(
         parents, w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),

@@ -27,7 +27,6 @@ def main(argv):
     from canonicalvoting_tpu.eval.separate import (
         ALL_CATEGORIES,
         SeparateDetectionPipeline,
-        stack_variables,
     )
     from canonicalvoting_tpu.metrics.ap import compute_map
     from canonicalvoting_tpu.models import MinkUNet34C
@@ -126,10 +125,12 @@ def main(argv):
                     seed=hash(category) % 2**31,
                 ))
             pipe = SeparateDetectionPipeline(
-                model=model,
-                stacked_variables=stack_variables(variables_list),
+                model=model, stacked_variables=None,
                 res=cfg.scannet_res, log_scale=cfg.log_scale,
             )
+            # lane-packs categories into block-diagonal grouped nets on
+            # the TPU dense path (group_size="auto"; eval/grouped.py)
+            pipe.set_variables_list(variables_list)
 
         dets = pipe.detect(coords, feats_raw)
         pred_map_cls[id_scan] = dets

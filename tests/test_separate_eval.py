@@ -110,3 +110,45 @@ def test_separate_pipeline_dense_scan_runs(rng):
     assert np.asarray(out["truncated"]).shape == (len(cats),)
     dets = pipe.postprocess(out)
     assert isinstance(dets, list)
+
+
+def test_separate_pipeline_grouped_matches_single(rng):
+    """group_size=2 (lane-packed block-diagonal groups, eval/grouped.py)
+    must produce the same detections as the per-category scan, including
+    the padded tail group (3 categories -> groups [0,1] + [2,2])."""
+    coords, feats_raw = _scene(rng, n_pts=220)
+    cats = ["chair", "table", "sofa"]
+    model = MinkUNetBase(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=TINY_PLANES, init_dim=8, compute_dtype="float32",
+    )
+    kw = dict(model=model, stacked_variables=None, categories=cats,
+              res=0.03, num_rots=8, backbone="dense",
+              conv_impl="tiled_interpret", grid_multiple=16,
+              cap_multiple=256)
+    pipe1 = SeparateDetectionPipeline(group_size=1, **kw)
+    pipe2 = SeparateDetectionPipeline(group_size=2, **kw)
+    args = pipe1.prepare_quantized(coords, feats_raw)
+    _, feats, flat, valid = args[:4]
+    dense_dims = args[6]
+    dm = pipe1._dense_model
+    vs = [dm.init(jax.random.PRNGKey(i), feats, flat, valid,
+                  tuple(dense_dims), False) for i in range(len(cats))]
+    pipe1.set_variables_list(vs)
+    pipe2.set_variables_list(vs)
+    out1 = pipe1.run_scene(args)
+    out2 = pipe2.run_scene(args)
+    n1 = np.asarray(out1["n_boxes"])
+    n2 = np.asarray(out2["n_boxes"])[: len(cats)]
+    np.testing.assert_array_equal(n1, n2)
+    b1, b2 = np.asarray(out1["boxes"]), np.asarray(out2["boxes"])
+    s1, s2 = np.asarray(out1["scores"]), np.asarray(out2["scores"])
+    for ci in range(len(cats)):
+        k = int(n1[ci])
+        np.testing.assert_allclose(b2[ci, :k], b1[ci, :k], rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(s2[ci, :k], s1[ci, :k], rtol=1e-4,
+                                   atol=1e-4)
+    d1 = pipe1.postprocess(out1)
+    d2 = pipe2.postprocess(out2)
+    assert len(d1) == len(d2)
