@@ -62,8 +62,9 @@ def bench_separate():
     else:
         _, feats0, pyr0 = prepped[0][:3]
         var1 = jax.jit(model.init)(jax.random.PRNGKey(0), feats0, pyr0)
-    # 9 per-category weight sets; group_size="auto" lane-packs them into
-    # block-diagonal grouped nets on the TPU dense path (eval/grouped.py)
+    # 9 per-category weight sets, stacked for the category scan
+    # (group_size="auto" resolves to 1; lane packing is an opt-in that
+    # measured a ~24% e2e loss — RESULTS_r4.md)
     pipe.set_variables_list([var1] * 9)
 
     for args in prepped:

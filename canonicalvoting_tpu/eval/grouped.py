@@ -68,7 +68,15 @@ def _embed_stem(ws: Sequence[jnp.ndarray]) -> jnp.ndarray:
 
 def grouped_model_config(model, n: int) -> Dict:
     """Constructor kwargs for the grouped ``DenseMinkUNet``/``MinkUNetBase``
-    twin of ``model`` (a per-category model) covering ``n`` categories."""
+    twin of ``model`` (a per-category model) covering ``n`` categories.
+
+    Only the basic-block family is supported: bottleneck blocks' conv3
+    input-segment layout is not handled by ``build_grouped_variables``.
+    """
+    if model.block != "basic":
+        raise NotImplementedError(
+            "grouped evaluation supports block='basic' only "
+            f"(got block={model.block!r})")
     return dict(
         in_channels=model.in_channels,
         out_channels=n * model.out_channels,
@@ -91,6 +99,10 @@ def build_grouped_variables(variables_list: List[Dict], model) -> Dict:
     a single input segment; decoder blocks' first block sees the
     [transposed-conv out | skip] concat (two segments).
     """
+    if model.block != "basic":
+        raise NotImplementedError(
+            "grouped evaluation supports block='basic' only "
+            f"(got block={model.block!r})")
     n = len(variables_list)
     planes = tuple(model.planes)
     init_dim = model.init_dim

@@ -150,6 +150,7 @@ class DenseConv(nn.Module):
     use_bias: bool = False
     compute_dtype: str = "bfloat16"
     conv_impl: str = "xla"
+
     @nn.compact
     def __call__(self, x, tiles=None, ts_group=None, scale=None, bias=None,
                  occ=None, residual=None, res_w=None, res_scale=None,

@@ -243,7 +243,10 @@ def run_joint_validation(cfg, model, state, val_dataset, gt_lookup):
         item = val_dataset[i]
         id_scan, coords, feats_raw = item[0], item[1], item[2]
         args = pipe.prepare_quantized(coords, feats_raw)
-        out = pipe.run_scene(args)
+        # retry escalation so a budget-exit peel can't silently truncate the
+        # detections feeding the mAP numbers (reference peels unbounded,
+        # eval_joint.py:204)
+        out = pipe.run_scene_with_retry(args)
         pred_map_cls[id_scan] = pipe.postprocess(out)
         if gt_lookup is not None:
             gt_map_cls[id_scan] = gt_lookup(id_scan)

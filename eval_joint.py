@@ -161,7 +161,8 @@ def main(argv):
                                 max_boxes=cfg.tpu.max_boxes),
                 cap_multiple=4096,
             )
-        out = pipe.run_scene(pipe.prepare_quantized(coords, feats_raw))
+        out = pipe.run_scene_with_retry(
+            pipe.prepare_quantized(coords, feats_raw))
         dets = pipe.postprocess(out)
         if scenenn:
             dets = [d for d in dets if d[0] in

@@ -128,8 +128,9 @@ def main(argv):
                 model=model, stacked_variables=None,
                 res=cfg.scannet_res, log_scale=cfg.log_scale,
             )
-            # lane-packs categories into block-diagonal grouped nets on
-            # the TPU dense path (group_size="auto"; eval/grouped.py)
+            # stacks the 9 per-category variable trees for the category
+            # scan (group_size="auto" resolves to 1 — lane packing measured
+            # a ~24% e2e loss, RESULTS_r4.md; opt-in via group_size=N)
             pipe.set_variables_list(variables_list)
 
         dets = pipe.detect(coords, feats_raw)

@@ -351,3 +351,78 @@ def test_joint_loop_dense_backbone_wiring(rng, tmp_path):
     assert int(state.step) == 2
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(np.all(np.isfinite(np.asarray(p))) for p in leaves)
+
+
+def test_validation_path_escalates_on_budget_exit(rng, monkeypatch, tmp_path):
+    """run_joint_validation must use run_scene_with_retry: a scene whose peel
+    exits on an iteration budget (truncated=True) gets re-run with escalated
+    budgets until the threshold exit, so the detections feeding the mAP
+    numbers are never silently incomplete (reference peels unbounded,
+    eval_joint.py:204)."""
+    import dataclasses
+
+    from canonicalvoting_tpu.config import Config
+    from canonicalvoting_tpu.decode.peeling import PeelConfig
+    from canonicalvoting_tpu.eval.pipeline import DetectionPipeline
+    from canonicalvoting_tpu.train import joint_loop
+
+    peels_seen = []
+
+    @dataclasses.dataclass
+    class BudgetedPipeline(DetectionPipeline):
+        """Real retry/postprocess logic; the device pass is faked to exit on
+        budget until max_iters has been escalated past the 'peak count'."""
+
+        def prepare_quantized(self, coords, feats_raw):
+            return ("fake",)
+
+        def run_scene(self, args, peel=None):
+            peel = self.peel if peel is None else peel
+            peels_seen.append(peel.max_iters)
+            if peel.max_iters < 4 * self.peel.max_iters:
+                return {
+                    "truncated": np.asarray(True),
+                    "n_boxes": np.asarray(0), "n_dropped": np.asarray(0),
+                    "boxes": np.zeros((peel.max_boxes, 8, 3), np.float32),
+                    "scores": np.zeros((peel.max_boxes,), np.float32),
+                    "classes": np.zeros((peel.max_boxes,), np.int32),
+                }
+            box = np.array(
+                [[x, y, z] for x in (0.0, 1.0) for y in (0.0, 1.0)
+                 for z in (0.0, 1.0)], np.float32)[None]
+            boxes = np.zeros((peel.max_boxes, 8, 3), np.float32)
+            boxes[0] = box
+            scores = np.zeros((peel.max_boxes,), np.float32)
+            scores[0] = 0.9
+            return {
+                "truncated": np.asarray(False),
+                "n_boxes": np.asarray(1), "n_dropped": np.asarray(0),
+                "boxes": boxes, "scores": scores,
+                "classes": np.zeros((peel.max_boxes,), np.int32),
+            }
+
+    monkeypatch.setattr(joint_loop, "DetectionPipeline", BudgetedPipeline)
+
+    cfg = Config()
+    state = type("S", (), {"params": {}, "batch_stats": {}})()
+    coords = np.zeros((4, 3), np.int32)
+    feats = np.zeros((4, 3), np.float32)
+    val_ds = [("scene0", coords, feats)]
+    ret = joint_loop.run_joint_validation(
+        cfg, model=None, state=state, val_dataset=val_ds,
+        gt_lookup=lambda _id: [],
+    )
+    # escalated at least once (first call truncated) and the escalated box
+    # reached the mAP stage
+    assert len(peels_seen) >= 2 and peels_seen[1] == 4 * peels_seen[0]
+    assert ret is not None and 0.25 in ret and 0.5 in ret
+
+
+def test_eval_joint_cli_uses_retry():
+    """Wiring guard: the eval_joint CLI's scene loop goes through
+    run_scene_with_retry (budget-exit scenes escalate, VERDICT r4 item 4)."""
+    import inspect
+
+    import eval_joint
+
+    assert "run_scene_with_retry" in inspect.getsource(eval_joint.main)
