@@ -167,3 +167,81 @@ def test_proposal_sampler_keeps_near_seed(rng):
     near_A, near_B = (dA < 0.35).mean(), (dB < 0.35).mean()
     assert near_A > 0.8, f"near-seed draws must dominate, got {near_A:.2f}"
     assert near_B < 0.05, f"far-from-seed draws must be rejected, got {near_B:.2f}"
+
+
+def test_brnetcanon_bridge_from_nested_pth(rng, tmp_path):
+    """The worked bridge (sunrgbd/README.md) end to end: a genuine
+    torch-saved checkpoint in the SUN RGB-D layout (state dict nested under
+    ['model_state_dict'], reference brnetcanon.py:167) loads through
+    ``load_reference_checkpoint``, and torch point clouds + vote seeds run
+    through ``BRNetCanonSampler.propose`` into feats_dict-ready torch
+    tensors."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+    from canonicalvoting_tpu.ops.coords import PyramidSpec, build_pyramid
+    from canonicalvoting_tpu.ops.voxelize import (
+        batched_coordinates,
+        sparse_quantize,
+    )
+    from canonicalvoting_tpu.sunrgbd.brnetcanon import (
+        BRNetCanonSampler,
+        load_reference_checkpoint,
+    )
+    from canonicalvoting_tpu.train.checkpoint import export_torch_style
+    from canonicalvoting_tpu.train.steps import init_variables
+
+    model = MinkUNetBase(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=(8, 16, 16, 16, 16, 16, 8, 8), init_dim=8,
+        compute_dtype="float32",
+    )
+    pts_t = [
+        torch.from_numpy(
+            rng.uniform([0, 0, 0], [2.0, 1.6, 0.4], (600, 3))
+            .astype(np.float32)),
+        torch.from_numpy(
+            rng.uniform([0, 0, 0], [1.8, 1.4, 0.3], (500, 3))
+            .astype(np.float32)),
+    ]
+    pc0 = pts_t[0].numpy()[:, [0, 2, 1]]
+    coords0, _ = sparse_quantize(pc0, 0.03)
+    pyr0 = build_pyramid(batched_coordinates([coords0]),
+                         PyramidSpec(cap_multiple=1024))
+    f0 = np.zeros((pyr0.coords[0].shape[0], 3), np.float32)
+    variables = init_variables(model, f0, pyr0.as_jax_inputs(), train=False)
+
+    # save in the published layout, then load through the bridge's loader
+    path = str(tmp_path / "checkpoint.pth")
+    export_torch_style(path, variables)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    torch.save({"model_state_dict": sd, "epoch": 160}, path)
+    loaded = load_reference_checkpoint(path)
+
+    sampler = BRNetCanonSampler(
+        model=model, variables=loaded, num_rots=12, num_proposal=32,
+        cap_multiple=1024, grid_multiple=(16, 16, 16),
+    )
+    # the documented adapter: torch -> numpy -> propose -> torch
+    seeds_t = torch.from_numpy(
+        rng.uniform(0, 1.2, (2, 16, 3)).astype(np.float32))
+    out = sampler.propose([p.numpy() for p in pts_t], seeds_t.numpy(),
+                          key=jax.random.PRNGKey(1))
+    feats_dict = {k: torch.from_numpy(out[k]) for k in
+                  ("proposals", "probs", "scales")}
+    assert feats_dict["proposals"].shape == (2, 32, 3)
+    assert feats_dict["probs"].shape == (2, 32)
+    assert feats_dict["scales"].shape == (2, 32, 3)
+    assert feats_dict["proposals"].dtype == torch.float32
+    # identical outputs to running with the in-memory variables: the
+    # nested .pth layout loses nothing
+    sampler2 = BRNetCanonSampler(
+        model=model, variables=variables, num_rots=12, num_proposal=32,
+        cap_multiple=1024, grid_multiple=(16, 16, 16),
+    )
+    out2 = sampler2.propose([p.numpy() for p in pts_t], seeds_t.numpy(),
+                            key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(out["proposals"], out2["proposals"])
+    np.testing.assert_allclose(out["scales"], out2["scales"])
