@@ -130,15 +130,29 @@ def collate_joint_dense(items: Sequence, cap_multiple: int = 4096,
 
 
 def collate_separate(items: Sequence, cap_multiple: int = 4096,
-                     max_objects: int = 64, feats_rescale: bool = True) -> Dict:
+                     max_objects: int = 64, feats_rescale: bool = True,
+                     dense: bool = False) -> Dict:
     """items: (id_scan, coords, feats, base_xyz, scale_labels, obj_labels,
     class_labels, obj_id, sym_codes). Object ids are offset per scene into a
-    batch-global id space for the segment-reduced symmetry loss."""
+    batch-global id space for the segment-reduced symmetry loss.
+
+    ``dense=True`` emits the dense-execution backbone's row format (flat
+    MARGINED cell ids + valid mask instead of the coordinate pyramid,
+    mirroring collate_joint_dense) with identical labels and row order, so
+    the same separate_losses applies on either backbone.
+    """
     ids = [it[0] for it in items]
     coords = [it[1] for it in items]
-    bcoords = batched_coordinates(coords)
-    pyr = build_pyramid(bcoords, PyramidSpec(cap_multiple=cap_multiple))
-    cap0 = pyr.coords[0].shape[0]
+    if dense:
+        from canonicalvoting_tpu.data.dense_prep import dense_flat_ids_batched
+
+        flat, dims, _bases = dense_flat_ids_batched(list(coords))
+        n = len(flat)
+        cap0 = int(np.ceil(n / cap_multiple) * cap_multiple)
+    else:
+        bcoords = batched_coordinates(coords)
+        pyr = build_pyramid(bcoords, PyramidSpec(cap_multiple=cap_multiple))
+        cap0 = pyr.coords[0].shape[0]
 
     feats_b = _pad(
         np.concatenate([it[2] for it in items], 0), cap0, 0.0
@@ -164,10 +178,24 @@ def collate_separate(items: Sequence, cap_multiple: int = 4096,
     # objects beyond capacity are dropped from the xyz loss (masked)
     obj_id_b[obj_id_b >= max_objects] = -1
 
+    if dense:
+        valid = np.zeros((cap0,), np.float32)
+        valid[:n] = (flat >= 0).astype(np.float32)
+        backbone_fields = {
+            "meta": {"ids": ids, "grid_dims": dims,
+                     "n_scenes": len(items)},
+            "flat_idx": _pad(flat, cap0, -1),
+            "valid": valid,
+            "nvalid": np.int32(n),
+        }
+    else:
+        backbone_fields = {
+            "meta": {"ids": ids, "coords": pyr.coords[0]},
+            "pyramid": pyr.as_jax_inputs(),
+        }
     return {
-        "meta": {"ids": ids, "coords": pyr.coords[0]},
+        **backbone_fields,
         "feats": feats_b,
-        "pyramid": pyr.as_jax_inputs(),
         "base_xyz": _pad(
             np.concatenate([it[3] for it in items], 0).astype(np.float32), cap0, 0.0
         ),

@@ -39,6 +39,7 @@ from canonicalvoting_tpu.train.checkpoint import (
 from canonicalvoting_tpu.train.schedules import bn_momentum_for_epoch, lr_for_epoch
 from canonicalvoting_tpu.train.steps import (
     create_train_state,
+    create_train_state_dense,
     make_optimizer,
     make_separate_train_step,
 )
@@ -67,16 +68,43 @@ def run_separate_training(
         model = MinkUNet34C(cfg.in_channels, 8,
                             compute_dtype=cfg.tpu.conv_dtype)
     optimizer = make_optimizer(cfg.weight_decay)
+
+    # dense backbone on TPU, as in the joint loop: the masked dense Conv3D
+    # twin trains on the MXU with the identical parameter tree, so
+    # checkpoints and the validation pipeline interchange freely
+    import jax
+
+    backbone = cfg.tpu.train_backbone
+    if backbone == "auto":
+        backbone = "dense" if jax.default_backend() == "tpu" else "gather"
+    if backbone == "dense":
+        from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+
+        train_model = DenseMinkUNet(
+            in_channels=model.in_channels, out_channels=model.out_channels,
+            block=model.block, layers=model.layers, planes=model.planes,
+            init_dim=model.init_dim, stem_kernel=model.stem_kernel,
+            compute_dtype=model.compute_dtype, conv_impl="xla",
+        )
+    else:
+        train_model = model
+
     loader = DataLoader(
         train_dataset, batch_size=cfg.batch_size,
         collate_fn=lambda it: collate_separate(
-            it, cap_multiple=cap_multiple, max_objects=max_objects
+            it, cap_multiple=cap_multiple, max_objects=max_objects,
+            dense=(backbone == "dense"),
         ),
         shuffle=True, num_workers=cfg.num_workers, drop_last=True,
     )
     first = next(iter(loader))
-    state = create_train_state(model, optimizer, first["feats"], first["pyramid"])
-    step_fn = make_separate_train_step(model, optimizer, cfg, max_objects)
+    if backbone == "dense":
+        state = create_train_state_dense(train_model, optimizer, first)
+    else:
+        state = create_train_state(model, optimizer, first["feats"],
+                                   first["pyramid"])
+    step_fn = make_separate_train_step(train_model, optimizer, cfg,
+                                       max_objects, backbone=backbone)
 
     start_epoch = cfg.start_epoch
     ckpt = latest_checkpoint(workdir)

@@ -169,8 +169,33 @@ def make_joint_train_step(model, optimizer, cfg,
     return step
 
 
-def make_separate_train_step(model, optimizer, cfg, max_objects: int) -> Callable:
+def make_separate_train_step(model, optimizer, cfg, max_objects: int,
+                             backbone: str = "gather") -> Callable:
+    """backbone="gather": ``model`` is a MinkUNetBase fed the coordinate
+    pyramid. backbone="dense": ``model`` is a DenseMinkUNet fed flat cell
+    ids (collate_separate(dense=True) batches) — as with the joint step,
+    the dense twin trains on the MXU with the identical parameter tree
+    (reference trainer: /root/reference/train_separate.py:184-298)."""
     xyz_weights = tuple(cfg.xyz_weights)
+
+    def _losses(batch, out, nvalid):
+        return separate_losses(
+            out, batch["base_xyz"], batch["scale_labels"],
+            batch["obj_labels"], batch["obj_id"], batch["sym_code"],
+            batch["num_objects"], nvalid,
+            xyz_weights, max_objects, cfg.log_scale,
+            cfg.xyz_factor, cfg.scale_factor,
+        )
+
+    def _update(state, losses, new_stats, grads, lr):
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        upd, new_opt = optimizer.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        return TrainState(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.step + 1,
+        ), losses
 
     @jax.jit
     def _step(state: TrainState, batch: Dict, lr, bn_momentum):
@@ -180,29 +205,37 @@ def make_separate_train_step(model, optimizer, cfg, max_objects: int) -> Callabl
                 batch["feats"], batch["pyramid"], True, bn_momentum,
                 mutable=["batch_stats"],
             )
-            losses = separate_losses(
-                out, batch["base_xyz"], batch["scale_labels"],
-                batch["obj_labels"], batch["obj_id"], batch["sym_code"],
-                batch["num_objects"], batch["pyramid"]["nvalid"][0],
-                xyz_weights, max_objects, cfg.log_scale,
-                cfg.xyz_factor, cfg.scale_factor,
-            )
+            losses = _losses(batch, out, batch["pyramid"]["nvalid"][0])
             return losses["loss"], (losses, updates["batch_stats"])
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        upd, new_opt = optimizer.update(grads, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, upd)
-        new_state = TrainState(
-            params=new_params, batch_stats=new_stats, opt_state=new_opt,
-            step=state.step + 1,
-        )
-        return new_state, losses
+        return _update(state, losses, new_stats, grads, lr)
+
+    @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
+    def _step_dense(state: TrainState, batch: Dict, lr, bn_momentum,
+                    grid_dims, n_scenes):
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["feats"], batch["flat_idx"], batch["valid"],
+                grid_dims, True, bn_momentum, n_scenes=n_scenes,
+                mutable=["batch_stats"],
+            )
+            losses = _losses(batch, out, batch["nvalid"])
+            return losses["loss"], (losses, updates["batch_stats"])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return _update(state, losses, new_stats, grads, lr)
 
     def step(state, batch, lr, bn_momentum):
+        if backbone == "dense":
+            meta = batch["meta"]
+            return _step_dense(state, _strip_meta(batch), lr, bn_momentum,
+                               tuple(meta["grid_dims"]), meta["n_scenes"])
         return _step(state, _strip_meta(batch), lr, bn_momentum)
 
     return step

@@ -426,3 +426,125 @@ def test_eval_joint_cli_uses_retry():
     import eval_joint
 
     assert "run_scene_with_retry" in inspect.getsource(eval_joint.main)
+
+
+def _sep_items(rng, n_scenes=2, extent=(0.6, 0.6, 0.6), n_background=300,
+               pts_per_box=150):
+    """Separate-trainer items (collate_separate format) at CPU size."""
+    from canonicalvoting_tpu.data.geometry import rotmat_y
+
+    items = []
+    for i in range(n_scenes):
+        scene = make_scene(rng, extent=extent, n_background=n_background,
+                           n_boxes=1, pts_per_box=pts_per_box)
+        coords, idx = sparse_quantize(scene.points, 0.03)
+        cls = scene.class_labels[idx]
+        obj_lab = (cls < NCLASSES).astype(np.int32)
+        oid = np.full(len(coords), -1, np.int32)
+        for bi, b in enumerate(scene.boxes):
+            pw = coords.astype(np.float32) * 0.03
+            inv = ((pw - b.center) @ rotmat_y(b.yaw)) / b.scale
+            oid[np.all(np.abs(inv) < 1, -1)] = bi
+        sym = np.array([1], np.int32)
+        items.append((
+            f"s{i}", coords, scene.rgb[idx], scene.xyz_labels[idx],
+            scene.scale_labels[idx], obj_lab, cls, oid, sym,
+        ))
+    return items
+
+
+def test_separate_dense_grads_match_gather(rng):
+    """The separate trainer's backbone="dense" path: same variables, same
+    batch -> same loss and parameter grads as the gather-form path
+    (mirrors test_dense_train_grads_match_gather for separate_losses;
+    reference trainer /root/reference/train_separate.py:184-298)."""
+    import jax.tree_util as jtu
+
+    from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+    from canonicalvoting_tpu.train.losses import separate_losses as sl
+
+    cfg = Config()
+    items = _sep_items(rng, n_scenes=1)
+    batch_g = collate_separate(items, cap_multiple=512, max_objects=16)
+    batch_d = collate_separate(items, cap_multiple=512, max_objects=16,
+                               dense=True)
+    planes = (8, 16, 32, 32, 32, 32, 16, 16)
+    model_g = MinkUNetBase(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=planes, init_dim=8, compute_dtype="float32",
+    )
+    model_d = DenseMinkUNet(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=planes, init_dim=8, compute_dtype="float32",
+    )
+    optimizer = make_optimizer(0.0)
+    state = create_train_state(model_g, optimizer, batch_g["feats"],
+                               batch_g["pyramid"])
+    dims = tuple(batch_d["meta"]["grid_dims"])
+    B = batch_d["meta"]["n_scenes"]
+    xw = tuple(cfg.xyz_weights)
+
+    def losses_for(out, batch, nvalid):
+        return sl(out, batch["base_xyz"], batch["scale_labels"],
+                  batch["obj_labels"], batch["obj_id"], batch["sym_code"],
+                  batch["num_objects"], nvalid, xw, 16, cfg.log_scale,
+                  cfg.xyz_factor, cfg.scale_factor)["loss"]
+
+    def loss_g(params):
+        out, _ = model_g.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch_g["feats"], batch_g["pyramid"], True, 0.5,
+            mutable=["batch_stats"])
+        return losses_for(out, batch_g, batch_g["pyramid"]["nvalid"][0])
+
+    def loss_d(params):
+        out, _ = model_d.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch_d["feats"], batch_d["flat_idx"], batch_d["valid"],
+            dims, True, 0.5, n_scenes=B, mutable=["batch_stats"])
+        return losses_for(out, batch_d, batch_d["nvalid"])
+
+    lg, gg = jax.value_and_grad(loss_g)(state.params)
+    ld, gd = jax.value_and_grad(loss_d)(state.params)
+    np.testing.assert_allclose(float(lg), float(ld), rtol=1e-4)
+    flat_g = jtu.tree_flatten_with_path(gg)[0]
+    flat_d = dict(jtu.tree_flatten_with_path(gd)[0])
+    assert len(flat_g) == len(flat_d)
+    for k, vg in flat_g:
+        np.testing.assert_allclose(
+            np.asarray(vg), np.asarray(flat_d[k]), atol=5e-4, rtol=5e-3,
+            err_msg=jtu.keystr(k))
+
+
+def test_separate_loop_dense_backbone_wiring(rng, tmp_path):
+    """run_separate_training with tpu.train_backbone=dense wires
+    collate_separate(dense=True) + create_train_state_dense + the dense
+    separate step end-to-end, and its checkpoints interop with the
+    validation pipeline (identical parameter tree)."""
+    from canonicalvoting_tpu.config import load_config
+    from canonicalvoting_tpu.data.loader import ListDataset
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+    from canonicalvoting_tpu.train.separate_loop import run_separate_training
+
+    cfg = load_config(None, [
+        "max_epoch=1", "batch_size=2", "num_workers=0",
+        "category=03001627",
+        "tpu.train_backbone=dense", "tpu.conv_dtype=float32",
+        "tpu.max_objects=16",
+    ])
+    items = _sep_items(rng, n_scenes=2)
+    model = MinkUNetBase(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=(8, 16, 16, 16, 16, 16, 8, 8), init_dim=8,
+        compute_dtype="float32",
+    )
+    state, ret = run_separate_training(
+        cfg, ListDataset(items), ListDataset([(it[0], it[1], it[2])
+                                              for it in items[:1]]),
+        workdir=str(tmp_path), gt_lookup=lambda _id: [], eval_every=999,
+        cap_multiple=256, model=model,
+    )
+    assert int(state.step) == 2
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.all(np.isfinite(np.asarray(p))) for p in leaves)
