@@ -42,11 +42,14 @@ def bench_separate():
     ]
 
     model = MinkUNet34C(3, 8)
+    kw = {}
+    if os.environ.get("CV_SEP_STEM"):  # A/B: stem_impl tiled|prefold
+        kw["stem_impl"] = os.environ["CV_SEP_STEM"]
     pipe = SeparateDetectionPipeline(
         model=model, stacked_variables=None, res=res, num_rots=120,
         peel=PeelConfig(res=res, max_boxes=64, max_iters=96,
                         elimination_inclusive=False),
-        cap_multiple=8192,
+        cap_multiple=8192, **kw,
     )
     prepped = []
     for s in scenes:
@@ -171,7 +174,7 @@ def main():
     import jax
 
     from canonicalvoting_tpu.data.geometry import NCLASSES
-    from canonicalvoting_tpu.data.synthetic import make_scene
+    from canonicalvoting_tpu.data.synthetic import make_scene, perfect_predictions
     from canonicalvoting_tpu.decode.peeling import PeelConfig
     from canonicalvoting_tpu.eval.pipeline import DetectionPipeline
     from canonicalvoting_tpu.models import MinkUNet34C
@@ -180,6 +183,12 @@ def main():
         return bench_separate()
     if "--train" in sys.argv:
         return bench_train()
+    # --random: the legacy random-weights loop (peel exits on its first
+    # threshold check, so the tail is detection-free). The DEFAULT timed
+    # loop plants near-perfect head rows (the tests_tpu/test_parity_e2e.py
+    # recipe) so every scene carries its 6 boxes through realistic peel
+    # iterations (accepts + refits) and host NMS — the honest number.
+    random_tail = "--random" in sys.argv
 
     rng = np.random.RandomState(0)
     res = 0.03
@@ -212,26 +221,73 @@ def main():
     # Host prep outside the timed loop (overlappable with device in prod)
     prepped = [pipe.prepare_scene(s.points, s.rgb) for s in scenes]
 
+    # Planted head rows per scene (device-staged outside the timed loop):
+    # the backbone still runs on its real inputs every pass; the tail then
+    # decodes these detection-bearing rows instead of the random-weight
+    # head output, exercising ~6 accepted peels + lazy rot/scale refits +
+    # per-class NMS per scene.
+    planted = None
+    if not random_tail:
+        from canonicalvoting_tpu.data.synthetic import (
+            encode_joint_head_rows as encode_head_rows,
+        )
+
+        planted = []
+        for s, args in zip(scenes, prepped):
+            coords_w, valid = np.asarray(args[4]), np.asarray(args[3]) > 0
+            points_w = coords_w[valid]
+            xyz, scl, prob, cls = perfect_predictions(s, points_w)
+            rows = encode_head_rows(points_w, xyz, scl, prob > 0.5, cls,
+                                    len(valid))
+            planted.append(jax.device_put(rows))
+
+    def run_one(i):
+        args = prepped[i]
+        if random_tail:
+            return pipe.run_scene(args)
+        # same dispatch sequence as run_scene (backbone program + tail
+        # program); the device executes dispatches in order, so the
+        # backbone stays in the timed path even though the planted tail
+        # replaces its head rows
+        (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
+         tiles, run_spec, run_tiles, occ_packs) = args
+        pipe._backbone_fn(
+            pipe.variables, feats, flat, valid, tuple(dense_dims),
+            tiles=tiles, run_spec=run_spec, run_tiles=run_tiles,
+            occ_packs=occ_packs,
+        )
+        return pipe._tail_fn(planted[i], coords_w, valid, grid_shape)
+
     # Warmup / compile every distinct shape; int() is a real sync barrier
-    for args in prepped:
-        out = pipe.run_scene(args)
-        int(out["n_boxes"])
+    n_boxes_warm = []
+    for i in range(len(prepped)):
+        out = run_one(i)
+        n_boxes_warm.append(int(out["n_boxes"]))
+    if not random_tail:
+        # >= 4 of the 6 planted boxes per scene: overlapping synthetic
+        # boxes can merge under peel elimination; the point is that the
+        # timed tail carries realistic accepted peels, refits and NMS
+        assert all(n >= 4 for n in n_boxes_warm), (
+            "planted scenes must carry their boxes", n_boxes_warm)
 
     # Timed end-to-end (device path + host NMS); best pass wins.
     # Dispatches are pipelined (all scenes enqueued, then fetched in order)
     # — the serving pattern — so per-scene host round trips overlap compute.
     n_passes = int(os.environ.get("BENCH_PASSES", "5"))
     rates = []
+    n_dets = 0
     for p in range(n_passes):
         t0 = time.time()
-        outs = [pipe.run_scene(args) for args in prepped]
+        outs = [run_one(i) for i in range(len(prepped))]
         total = 0
+        n_dets = 0
         for out in outs:
-            pipe.postprocess(out)
+            n_dets += len(pipe.postprocess(out))
             total += 1
         elapsed = time.time() - t0
         sps = total / elapsed
-        print(f"pass {p}: {sps:.3f} scenes/s", file=sys.stderr)
+        print(f"pass {p}: {sps:.3f} scenes/s ({n_dets} detections)",
+              file=sys.stderr)
         rates.append(sps)
 
     best = max(rates)
@@ -244,6 +300,8 @@ def main():
         "vs_baseline": round(median / 10.0, 3),
         "best": round(best, 3),
         "median": round(median, 3),
+        "detections": n_dets,
+        "tail": "random" if random_tail else "planted",
     }))
 
 

@@ -129,9 +129,44 @@ def collate_joint_dense(items: Sequence, cap_multiple: int = 4096,
     }
 
 
+def collate_separate_sharded(items: Sequence, n_shards: int,
+                             cap_multiple: int = 4096,
+                             max_objects: int = 64,
+                             feats_rescale: bool = True) -> Dict:
+    """Collate one global separate-trainer batch into ``n_shards`` shard
+    batches with IDENTICAL static shapes, stacked on a new leading device
+    axis (the input of parallel.data_parallel.make_dp_train_step_separate;
+    mirrors collate_joint_sharded)."""
+    from canonicalvoting_tpu.parallel.data_parallel import stack_scene_batches
+
+    groups = [list(items[s::n_shards]) for s in range(n_shards)]
+    if not all(groups):
+        raise ValueError(
+            f"need >= {n_shards} scenes per global batch, got {len(items)}")
+    pyrs = [
+        build_pyramid(
+            batched_coordinates([it[1] for it in g]),
+            PyramidSpec(cap_multiple=cap_multiple),
+        )
+        for g in groups
+    ]
+    nlev = len(pyrs[0].coords)
+    caps = tuple(
+        max(p.coords[lvl].shape[0] for p in pyrs) for lvl in range(nlev)
+    )
+    shard_batches = [
+        collate_separate(g, max_objects=max_objects,
+                         feats_rescale=feats_rescale, capacities=caps)
+        for g in groups
+    ]
+    batch = stack_scene_batches(shard_batches)
+    batch["meta"] = {"ids": [b["meta"]["ids"] for b in shard_batches]}
+    return batch
+
+
 def collate_separate(items: Sequence, cap_multiple: int = 4096,
                      max_objects: int = 64, feats_rescale: bool = True,
-                     dense: bool = False) -> Dict:
+                     dense: bool = False, capacities=None) -> Dict:
     """items: (id_scan, coords, feats, base_xyz, scale_labels, obj_labels,
     class_labels, obj_id, sym_codes). Object ids are offset per scene into a
     batch-global id space for the segment-reduced symmetry loss.
@@ -151,7 +186,10 @@ def collate_separate(items: Sequence, cap_multiple: int = 4096,
         cap0 = int(np.ceil(n / cap_multiple) * cap_multiple)
     else:
         bcoords = batched_coordinates(coords)
-        pyr = build_pyramid(bcoords, PyramidSpec(cap_multiple=cap_multiple))
+        spec = (PyramidSpec(capacities=tuple(capacities))
+                if capacities is not None
+                else PyramidSpec(cap_multiple=cap_multiple))
+        pyr = build_pyramid(bcoords, spec)
         cap0 = pyr.coords[0].shape[0]
 
     feats_b = _pad(

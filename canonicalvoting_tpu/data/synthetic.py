@@ -160,3 +160,33 @@ def perfect_predictions(scene: SyntheticScene, points_w: np.ndarray,
         prob[inside] = obj_prob
         cls[inside] = b.class_idx
     return (xyz.astype(np.float32), scl.astype(np.float32), prob, cls)
+
+
+def encode_joint_head_rows(points_w, xyz, scl, prob_is_high, cls, cap,
+                           nclasses=None):
+    """Per-point predictions -> raw joint-model head rows
+    (cap, 6*n + n + 1), inverse of eval.pipeline.slice_joint_heads
+    (reference head slicing: eval_joint.py:173-190).
+
+    Rows beyond ``len(points_w)`` stay zero (padding). Low-prob points are
+    encoded as background (logit on the n-th class); their xyz/scale land
+    in class-0 slots, matching the reference's background->class-0 gather.
+    Used by the parity oracles (tests/test_parity_e2e.py) and the planted
+    detection-bearing bench tail (bench.py).
+    """
+    from canonicalvoting_tpu.data.geometry import NCLASSES
+
+    if nclasses is None:
+        nclasses = NCLASSES
+    n = len(points_w)
+    rows = np.zeros((cap, 6 * nclasses + nclasses + 1), np.float32)
+    r = np.arange(n)
+    slot = np.where(prob_is_high, cls, 0)
+    xyz_all = rows[:, : 3 * nclasses].reshape(cap, nclasses, 3)
+    scale_all = rows[:, 3 * nclasses: 6 * nclasses].reshape(cap, nclasses, 3)
+    xyz_all[r, slot] = xyz
+    scale_all[r, slot] = np.log(scl)
+    logits = rows[:, 6 * nclasses:]
+    hot = np.where(prob_is_high, cls, nclasses)
+    logits[r, hot] = 4.0  # softmax prob ~0.858 fg / ~0.016 bg
+    return rows

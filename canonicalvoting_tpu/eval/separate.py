@@ -81,7 +81,12 @@ class SeparateDetectionPipeline:
     # dense + tiled + lazy on TPU, sparse elsewhere
     backbone: str = "auto"
     conv_impl: str = "auto"
-    stem_impl: str = "tiled"  # or "prefold" (see models.dense_unet)
+    # stem differs from the joint pipeline: "prefold" folds the k=5 stem's
+    # 25 (dy, dz) taps ONCE per scene (shared_scene_grids hoists the
+    # weight-independent fold out of the category scan) and each
+    # category's stem runs pointwise — measured 1.41 vs 1.33 scenes/s
+    # against the in-kernel "tiled" fold repeated 9x (RESULTS_r5.md)
+    stem_impl: str = "prefold"
     lazy_rot_scale: object = "auto"
     # budget-exit retry, as in DetectionPipeline: re-run with 4x max_iters
     # when any category's peel reports a budget (not threshold) exit
@@ -232,6 +237,12 @@ class SeparateDetectionPipeline:
             else self._grouped_dense_model
         out_ch = self.model.out_channels
         log_scale = self.log_scale
+        # n == 1 + lazy: peel moved OUT of the category scan and vmapped —
+        # the peel/refit iterations are small-op latency-bound, so the 9
+        # sequential while_loops (sum of iteration counts) become ONE
+        # batched loop (max of iteration counts) over the stacked obj
+        # grids (9 x ~33 MB, cheap); results are bit-identical (same ops).
+        vmap_peel = (n == 1 and bool(self.lazy_rot_scale))
 
         @functools.partial(jax.jit,
                            static_argnames=("dense_dims", "grid_shape",
@@ -260,7 +271,7 @@ class SeparateDetectionPipeline:
                     compute_dtype=m.compute_dtype, stem_impl=m.stem_impl)
                 donors = fresh_l0_donors(dense_dims, m.compute_dtype)
 
-            def per_group(carry, variables):
+            def backbone_heads(carry, variables):
                 out = dense_model.apply(
                     variables, feats, flat, valid, dense_dims, False,
                     tiles=tiles,
@@ -271,6 +282,47 @@ class SeparateDetectionPipeline:
                     out, new_carry = out
                 else:
                     new_carry = carry
+                return out, new_carry
+
+            if vmap_peel:
+                corners = compute_corners(coords_w, valid)
+                corner = corners[0]
+                dims = jnp.minimum(
+                    grid_dims_from_corners(corners, self.res),
+                    jnp.asarray(grid_shape, jnp.int32),
+                )
+
+                def per_cat(carry, variables):
+                    out, new_carry = backbone_heads(carry, variables)
+                    xyz, scale, prob = slice_separate_heads(out)
+                    if log_scale:
+                        scale = jnp.exp(scale)
+                    go = hough_voting_obj(
+                        coords_w, xyz, scale, prob, res=self.res,
+                        num_rots=self.num_rots, grid_shape=grid_shape,
+                        corners=corners, valid=valid, method=self.hv_method,
+                    )
+                    return new_carry, (go, xyz, scale, prob)
+
+                _, (gos, xyzs, scales, probs) = jax.lax.scan(
+                    per_cat, donors, stacked_vars)
+
+                def peel_one(go, xyz, scale, prob):
+                    def rot_scale_fn(cand):
+                        return vote_stats_at_cell(
+                            coords_w, xyz, scale, prob, corner, dims,
+                            self.res, self.num_rots, cand, valid=valid,
+                        )
+
+                    return peel_boxes(
+                        go, None, None, coords_w, xyz, prob, None, corner,
+                        peel, valid=valid, rot_scale_fn=rot_scale_fn,
+                    )
+
+                return jax.vmap(peel_one)(gos, xyzs, scales, probs)
+
+            def per_group(carry, variables):
+                out, new_carry = backbone_heads(carry, variables)
                 # lane-packed group (eval/grouped.py): the head rows carry
                 # n categories' 8-channel heads category-major; vote + peel
                 # run per category on its slice

@@ -156,8 +156,8 @@ class DenseConv(nn.Module):
                  occ=None, residual=None, res_w=None, res_scale=None,
                  res_bias=None, relu_out: bool = False, rows: bool = False,
                  return_kernel: bool = False, in_perm=None,
-                 prefold: bool = False, replicated: bool = False,
-                 donate=None):
+                 prefold: bool = False, prefolded_input: bool = False,
+                 replicated: bool = False, donate=None):
         k = self.kernel_size
         w = self.param(
             "kernel", kernel_init, (k ** 3, self.in_channels, self.out_channels)
@@ -198,7 +198,12 @@ class DenseConv(nn.Module):
 
             assert b is None, "fused tiled conv folds bias via scale/bias"
             ts, group = ts_group
-            if prefold:
+            if prefold and prefolded_input:
+                # the caller already holds fold_dydz's output (the fold is
+                # weight-independent, so multi-model evals hoist it out of
+                # the per-category scan via shared_scene_grids)
+                xin = xc[0]
+            elif prefold:
                 # (dy, dz) taps folded into lanes by an XLA pass; the
                 # kernel then runs pointwise windows (only dx expands)
                 xin = fold_dydz(xc[0, ..., :self.in_channels], k)
@@ -548,7 +553,12 @@ def shared_scene_grids(feats, flat_idx, valid, grid_dims, *, in_channels,
     apply via ``shared=`` (the reference instead re-enters the full
     per-model pipeline 9x, eval_separate.py:165-186).
 
-    Returns {"x": scatter grid (1, Xm, Ym, Zm, C), "occ": pyramid list}.
+    Returns {"x": scatter grid (1, Xm, Ym, Zm, C), "occ": pyramid list};
+    with stem_impl == "prefold" additionally "x_folded", the fold_dydz
+    output — the stem fold is weight-INDEPENDENT, so folding once here
+    turns every category's k=5 stem into a pointwise tiled conv (the
+    in-kernel 25-tap fold was the tiled stem's dominant cost and would
+    otherwise repeat 9x inside the scan).
     Layout matches what __call__ builds internally (replicated stem lanes
     when stem_impl == "tiled" and the k^2 tap blocks fit 128 lanes).
     """
@@ -584,7 +594,12 @@ def shared_scene_grids(feats, flat_idx, valid, grid_dims, *, in_channels,
         o = jax.lax.reduce_window(
             o, -jnp.inf, jax.lax.max, (1, 2, 2, 2), (1, 2, 2, 2), "VALID")
         occ.append(jnp.pad(o, ((0, 0), (MX, MX), (MY, MY), (MZ, MZ))))
-    return {"x": x, "occ": occ}
+    shared = {"x": x, "occ": occ}
+    if stem_prefold:
+        from canonicalvoting_tpu.ops.pallas.tiled_conv import fold_dydz
+
+        shared["x_folded"] = fold_dydz(x[0], stem_kernel)
+    return shared
 
 
 def fresh_l0_donors(grid_dims, compute_dtype="bfloat16"):
@@ -828,9 +843,19 @@ class DenseMinkUNet(nn.Module):
         # channel stride), on the coarser STEM_TILE_PLAN tiles
         if stem_tiled:
             a0, b0 = bn0(None, None, False, return_affine=True)
-            out_p1 = stem(x, tiles[STEM_KEY], tsg[STEM_KEY], scale=a0,
+            stem_in = x
+            pre_in = False
+            if stem_prefold and shared is not None \
+                    and "x_folded" in shared:
+                # fold hoisted out of the per-category scan (see
+                # shared_scene_grids): the stem runs pointwise on the
+                # scene's shared folded grid
+                stem_in = shared["x_folded"][None]
+                pre_in = True
+            out_p1 = stem(stem_in, tiles[STEM_KEY], tsg[STEM_KEY], scale=a0,
                           bias=b0, occ=occp[STEM_KEY], relu_out=True,
-                          prefold=stem_prefold, replicated=stem_rep,
+                          prefold=stem_prefold, prefolded_input=pre_in,
+                          replicated=stem_rep,
                           donate=donors[0] if donors is not None else None)
         else:
             x = stem(x, None)

@@ -113,6 +113,70 @@ def make_dp_train_step(model, optimizer, cfg, mesh: Mesh) -> Callable:
     return step
 
 
+def make_dp_train_step_separate(model, optimizer, cfg, mesh: Mesh,
+                                max_objects: int) -> Callable:
+    """Sharded SEPARATE-trainer step: per-shard separate_losses (binary
+    objectness + scale MSE + min-over-symmetry-hypotheses xyz) vmapped over
+    'data' with sync-BN, exactly as make_dp_train_step does for the joint
+    loss. Batches come from collate_separate_sharded. New capability over
+    the single-GPU reference trainer (train_separate.py:184-298)."""
+    from canonicalvoting_tpu.train.losses import separate_losses
+
+    xyz_weights = tuple(cfg.xyz_weights)
+
+    def per_scene(params, batch_stats, shard, bn_momentum):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            shard["feats"], shard["pyramid"], True, bn_momentum,
+            mutable=["batch_stats"],
+        )
+        losses = separate_losses(
+            out, shard["base_xyz"], shard["scale_labels"],
+            shard["obj_labels"], shard["obj_id"], shard["sym_code"],
+            shard["num_objects"], shard["pyramid"]["nvalid"][0],
+            xyz_weights, max_objects, cfg.log_scale,
+            cfg.xyz_factor, cfg.scale_factor,
+        )
+        return losses, updates["batch_stats"]
+
+    def step_fn(state: TrainState, batch: Dict, lr, bn_momentum):
+        def loss_fn(params):
+            losses, new_stats = jax.vmap(
+                per_scene, in_axes=(None, None, 0, None), axis_name="batch",
+            )(params, state.batch_stats, batch, bn_momentum)
+            stats0 = jax.tree_util.tree_map(lambda x: x[0], new_stats)
+            mean_losses = jax.tree_util.tree_map(jnp.mean, losses)
+            return mean_losses["loss"], (mean_losses, stats0)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        upd, new_opt = optimizer.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        return TrainState(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.step + 1,
+        ), losses
+
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    def place(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data_sharding),
+            {k: v for k, v in batch.items() if k != "meta"},
+        )
+
+    jitted = jax.jit(step_fn)
+
+    def step(state, batch, lr, bn_momentum):
+        return jitted(state, place(batch), lr, bn_momentum)
+
+    step.place_batch = place
+    return step
+
+
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place params (TP-sharded) + replicated everything-else on the mesh."""
     pshard = param_shardings(state.params, mesh)

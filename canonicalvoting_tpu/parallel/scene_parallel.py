@@ -104,11 +104,107 @@ def make_sharded_votepeel_fn(mesh: Mesh, *, res: float = 0.03,
     return run
 
 
+def collate_eval_scenes_dense(scenes, cap: int, grid_dims, res: float = 0.03,
+                              feats_dim: int = 3) -> Dict:
+    """Dense-backbone eval collate: per scene, flat MARGINED cell ids into
+    a SHARED static grid (``grid_dims`` = elementwise max over the run's
+    scenes), stacked for the vmapped fan-out."""
+    from canonicalvoting_tpu.data.dense_prep import (
+        dense_flat_ids,
+        dense_grid_geometry,
+    )
+
+    D = len(scenes)
+    feats = np.zeros((D, cap, feats_dim), np.float32)
+    flat = np.full((D, cap), -1, np.int32)
+    valid = np.zeros((D, cap), np.float32)
+    coords_w = np.zeros((D, cap, 3), np.float32)
+    for s, (coords, feats_raw) in enumerate(scenes):
+        n = len(coords)
+        assert n <= cap, (n, cap)
+        base, _dims = dense_grid_geometry(coords)
+        flat[s, :n] = dense_flat_ids(coords, base, grid_dims)
+        feats[s, :n] = feats_raw
+        feats[s, :, -3:] = feats[s, :, -3:] * 2.0 - 1.0
+        valid[s, :n] = (flat[s, :n] >= 0).astype(np.float32)
+        coords_w[s, :n] = coords[:, -3:].astype(np.float32) * res
+    return {"feats": feats, "flat": flat, "valid": valid,
+            "coords_w": coords_w}
+
+
+def dense_xla_twin(model):
+    """The XLA-conv dense twin of a MinkUNetBase ``model`` — identical
+    parameter tree; the only dense execution path that vmaps over scenes
+    (the Pallas tiled kernels are single-scene)."""
+    from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+
+    return DenseMinkUNet(
+        in_channels=model.in_channels, out_channels=model.out_channels,
+        block=model.block, layers=model.layers, planes=model.planes,
+        init_dim=model.init_dim, stem_kernel=model.stem_kernel,
+        compute_dtype=model.compute_dtype, conv_impl="xla",
+    )
+
+
+def make_sharded_eval_fn_dense(model, mesh: Mesh, *, grid_dims,
+                               res: float = 0.03, num_rots: int = 120,
+                               log_scale: bool = True,
+                               peel: PeelConfig = None,
+                               grid_shape=(128, 64, 128)):
+    """Dense-backbone scene-parallel eval: jitted (variables, batch) ->
+    stacked peel outputs, scenes sharded over 'data'.
+
+    The per-device backbone is the masked-dense XLA conv twin
+    (models/dense_unet.py) — MXU-bound instead of the row-gather-bound
+    sparse form the first fan-out used (~900 ms/scene, VERDICT r4 weak #3).
+    ``grid_dims``: static INTERIOR dense dims shared by all scenes
+    (collate_eval_scenes_dense).
+    """
+    peel = peel or PeelConfig(res=res)
+    dm = dense_xla_twin(model)
+    gd = tuple(int(d) for d in grid_dims)
+
+    def per_scene(variables, feats, flat, valid, coords_w):
+        out = dm.apply(variables, feats, flat, valid, gd, False)
+        xyz, scale, class_pred, prob = slice_joint_heads(out)
+        if log_scale:
+            scale = jnp.exp(scale)
+        corners = compute_corners(coords_w, valid)
+        go, gr, gs = hough_voting(
+            coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
+            grid_shape=tuple(grid_shape), corners=corners, valid=valid,
+        )
+        return peel_boxes(go, gr, gs, coords_w, xyz, prob, class_pred,
+                          corners[0], peel, valid=valid)
+
+    scene_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, out_shardings=scene_sharding)
+    def eval_fn(variables, batch):
+        return jax.vmap(per_scene, in_axes=(None, 0, 0, 0, 0))(
+            variables, batch["feats"], batch["flat"], batch["valid"],
+            batch["coords_w"],
+        )
+
+    def run(variables, batch):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, scene_sharding), batch
+        )
+        variables = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), variables
+        )
+        return eval_fn(variables, batch)
+
+    return run
+
+
 def evaluate_scenes_sharded(model, variables, scenes, *, mesh: Mesh = None,
                             res: float = 0.03, num_rots: int = 120,
                             log_scale: bool = True, peel: PeelConfig = None,
                             nms_iou: float = 0.3, cap_multiple: int = 4096,
-                            grid_multiple=(64, 32, 128)):
+                            grid_multiple=(64, 32, 128),
+                            backbone: str = "auto", max_retries: int = 2):
     """Fan a scene list over the devices: the CLI driver for
     make_sharded_eval_fn (used by eval_joint.py when >1 device is visible).
 
@@ -118,7 +214,16 @@ def evaluate_scenes_sharded(model, variables, scenes, *, mesh: Mesh = None,
     caller-agnostic. One static shape serves every chunk: point capacity
     and vote-grid dims are maxed over all scenes (one compile), scenes are
     grouped D at a time, and the last group is padded by repetition.
+
+    ``backbone``: "dense" (masked-dense XLA convs, the TPU default — the
+    sparse gather form costs ~900 ms/scene there) or "sparse"; "auto"
+    picks per platform. Budget-exited peels (``truncated``) re-run their
+    chunk with 4x-escalated budgets up to ``max_retries`` times, matching
+    the single-device run_scene_with_retry semantics.
     """
+    import dataclasses
+    import warnings
+
     from canonicalvoting_tpu.data.geometry import (
         IDX2NAME,
         NAME2CATNAME,
@@ -133,6 +238,8 @@ def evaluate_scenes_sharded(model, variables, scenes, *, mesh: Mesh = None,
         mesh = make_mesh(data=len(jax.devices()), model=1)
     D = int(mesh.shape["data"])
     peel = peel or PeelConfig(res=res)
+    if backbone == "auto":
+        backbone = "dense" if jax.default_backend() == "tpu" else "sparse"
 
     caps = max(len(s[1]) for s in scenes)
     cap = int(np.ceil(caps / cap_multiple) * cap_multiple)
@@ -141,10 +248,41 @@ def evaluate_scenes_sharded(model, variables, scenes, *, mesh: Mesh = None,
     ).astype(np.int32)
     grid_shape = round_grid_shape(dims, grid_multiple)
 
-    run = make_sharded_eval_fn(
-        model, mesh, res=res, num_rots=num_rots, log_scale=log_scale,
-        peel=peel, grid_shape=grid_shape,
-    )
+    if backbone == "dense":
+        from canonicalvoting_tpu.data.dense_prep import dense_grid_geometry
+
+        grid_dims = tuple(
+            int(max(dense_grid_geometry(s[1])[1][a] for s in scenes))
+            for a in range(3)
+        )
+
+        def make_run(p):
+            return make_sharded_eval_fn_dense(
+                model, mesh, grid_dims=grid_dims, res=res,
+                num_rots=num_rots, log_scale=log_scale, peel=p,
+                grid_shape=grid_shape,
+            )
+
+        def collate(chunk):
+            return collate_eval_scenes_dense(
+                [(c, f) for (_id, c, f) in chunk], cap=cap,
+                grid_dims=grid_dims, res=res,
+                feats_dim=chunk[0][2].shape[1],
+            )
+    else:
+        def make_run(p):
+            return make_sharded_eval_fn(
+                model, mesh, res=res, num_rots=num_rots,
+                log_scale=log_scale, peel=p, grid_shape=grid_shape,
+            )
+
+        def collate(chunk):
+            return collate_eval_scenes(
+                [(c, f) for (_id, c, f) in chunk], cap=cap, res=res,
+                feats_dim=chunk[0][2].shape[1],
+            )
+
+    runs = {0: make_run(peel)}  # escalation level -> cached sharded fn
 
     results = {}
     for start in range(0, len(scenes), D):
@@ -152,11 +290,25 @@ def evaluate_scenes_sharded(model, variables, scenes, *, mesh: Mesh = None,
         n_real = len(chunk)
         while len(chunk) < D:  # pad the ragged tail group
             chunk.append(chunk[0])
-        batch = collate_eval_scenes(
-            [(c, f) for (_id, c, f) in chunk], cap=cap, res=res,
-            feats_dim=chunk[0][2].shape[1],
-        )
-        out = jax.device_get(run(variables, batch))
+        batch = collate(chunk)
+        out = jax.device_get(runs[0](variables, batch))
+        # budget-exit escalation (the reference peels unbounded,
+        # eval_joint.py:204): re-run the chunk with 4x iters / 2x boxes
+        # while any REAL scene reports a budget (not threshold) exit
+        esc, p = 0, peel
+        while esc < max_retries and bool(
+                np.asarray(out["truncated"][:n_real]).any()):
+            esc += 1
+            p = dataclasses.replace(p, max_iters=p.max_iters * 4,
+                                    max_boxes=p.max_boxes * 2)
+            if esc not in runs:
+                runs[esc] = make_run(p)
+            out = jax.device_get(runs[esc](variables, batch))
+        if bool(np.asarray(out["truncated"][:n_real]).any()):
+            warnings.warn(
+                "sharded eval: peel still budget-exited after "
+                f"{max_retries} escalations — detections may be "
+                "incomplete", RuntimeWarning, stacklevel=2)
         for i in range(n_real):
             id_scan = chunk[i][0]
             n = int(out["n_boxes"][i])
@@ -216,3 +368,145 @@ def make_sharded_eval_fn(model, mesh: Mesh, *, res: float = 0.03,
         return eval_fn(variables, batch)
 
     return run
+
+
+def make_sharded_separate_eval_fn(model, mesh: Mesh, *, grid_dims,
+                                  res: float = 0.03, num_rots: int = 120,
+                                  log_scale: bool = True,
+                                  peel: PeelConfig = None,
+                                  grid_shape=(128, 64, 128)):
+    """Scene-parallel SEPARATE (9-category) eval: each device runs the full
+    per-category stack (backbone -> heads -> vote -> peel, scanned over the
+    stacked per-category variables) for its scene. The reference runs 9
+    models x scenes sequentially on one GPU (eval_separate.py:165-186);
+    this fans the scene axis over the mesh on the dense XLA backbone.
+    Returns per-(scene, category) stacked peel outputs."""
+    from canonicalvoting_tpu.eval.pipeline import slice_separate_heads
+
+    peel = peel or PeelConfig(res=res, elimination_inclusive=False)
+    dm = dense_xla_twin(model)
+    gd = tuple(int(d) for d in grid_dims)
+
+    def per_scene(stacked_vars, feats, flat, valid, coords_w):
+        corners = compute_corners(coords_w, valid)
+
+        def per_cat(_, variables):
+            out = dm.apply(variables, feats, flat, valid, gd, False)
+            xyz, scale, prob = slice_separate_heads(out)
+            if log_scale:
+                scale = jnp.exp(scale)
+            go, gr, gs = hough_voting(
+                coords_w, xyz, scale, prob, res=res, num_rots=num_rots,
+                grid_shape=tuple(grid_shape), corners=corners, valid=valid,
+            )
+            return None, peel_boxes(
+                go, gr, gs, coords_w, xyz, prob, None, corners[0], peel,
+                valid=valid,
+            )
+
+        _, outs = jax.lax.scan(per_cat, None, stacked_vars)
+        return outs
+
+    scene_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, out_shardings=scene_sharding)
+    def eval_fn(stacked_vars, batch):
+        return jax.vmap(per_scene, in_axes=(None, 0, 0, 0, 0))(
+            stacked_vars, batch["feats"], batch["flat"], batch["valid"],
+            batch["coords_w"],
+        )
+
+    def run(stacked_vars, batch):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, scene_sharding), batch
+        )
+        stacked_vars = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), stacked_vars
+        )
+        return eval_fn(stacked_vars, batch)
+
+    return run
+
+
+def evaluate_scenes_sharded_separate(
+        model, stacked_variables, scenes, categories, *, mesh: Mesh = None,
+        res: float = 0.03, num_rots: int = 120, log_scale: bool = True,
+        peel: PeelConfig = None, nms_iou: float = 0.3,
+        cap_multiple: int = 4096, grid_multiple=(64, 32, 128),
+        max_retries: int = 2):
+    """Separate-path CLI driver: fan scenes over the mesh, all categories
+    per device. Returns {id_scan: [(category, corners (8,3), prob)]} —
+    the SeparateDetectionPipeline.postprocess format. Budget-exited peels
+    escalate as in evaluate_scenes_sharded."""
+    import dataclasses
+    import warnings
+
+    from canonicalvoting_tpu.data.dense_prep import dense_grid_geometry
+    from canonicalvoting_tpu.metrics.ap import nms as nms_host
+    from canonicalvoting_tpu.ops.hough_voting import round_grid_shape
+
+    if mesh is None:
+        from canonicalvoting_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=len(jax.devices()), model=1)
+    D = int(mesh.shape["data"])
+    peel = peel or PeelConfig(res=res, elimination_inclusive=False)
+
+    caps = max(len(s[1]) for s in scenes)
+    cap = int(np.ceil(caps / cap_multiple) * cap_multiple)
+    dims = np.max(
+        [(s[1].max(0) - s[1].min(0)) + 1 for s in scenes], axis=0
+    ).astype(np.int32)
+    grid_shape = round_grid_shape(dims, grid_multiple)
+    grid_dims = tuple(
+        int(max(dense_grid_geometry(s[1])[1][a] for s in scenes))
+        for a in range(3)
+    )
+
+    def make_run(p):
+        return make_sharded_separate_eval_fn(
+            model, mesh, grid_dims=grid_dims, res=res, num_rots=num_rots,
+            log_scale=log_scale, peel=p, grid_shape=grid_shape,
+        )
+
+    runs = {0: make_run(peel)}
+    results = {}
+    for start in range(0, len(scenes), D):
+        chunk = list(scenes[start:start + D])
+        n_real = len(chunk)
+        while len(chunk) < D:
+            chunk.append(chunk[0])
+        batch = collate_eval_scenes_dense(
+            [(c, f) for (_id, c, f) in chunk], cap=cap,
+            grid_dims=grid_dims, res=res,
+            feats_dim=chunk[0][2].shape[1],
+        )
+        out = jax.device_get(runs[0](stacked_variables, batch))
+        esc, p = 0, peel
+        while esc < max_retries and bool(
+                np.asarray(out["truncated"][:n_real]).any()):
+            esc += 1
+            p = dataclasses.replace(p, max_iters=p.max_iters * 4,
+                                    max_boxes=p.max_boxes * 2)
+            if esc not in runs:
+                runs[esc] = make_run(p)
+            out = jax.device_get(runs[esc](stacked_variables, batch))
+        if bool(np.asarray(out["truncated"][:n_real]).any()):
+            warnings.warn(
+                "sharded separate eval: peel still budget-exited after "
+                f"{max_retries} escalations — detections may be "
+                "incomplete", RuntimeWarning, stacklevel=2)
+        for i in range(n_real):
+            id_scan = chunk[i][0]
+            dets = []
+            for ci, category in enumerate(categories):
+                n = int(out["n_boxes"][i][ci])
+                if n == 0:
+                    continue
+                b = np.asarray(out["boxes"][i][ci])[:n]
+                s = np.asarray(out["scores"][i][ci])[:n]
+                for j in nms_host(b, s, nms_iou):
+                    dets.append((category, b[j], float(s[j])))
+            results[id_scan] = dets
+    return results

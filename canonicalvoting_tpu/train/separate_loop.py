@@ -69,6 +69,16 @@ def run_separate_training(
                             compute_dtype=cfg.tpu.conv_dtype)
     optimizer = make_optimizer(cfg.weight_decay)
 
+    # mesh=dp,tp (tpu.mesh_data / tpu.mesh_model): scene-level data
+    # parallelism with sync-BN over a jax.sharding.Mesh, as the joint loop
+    # does — new capability over the single-GPU reference trainer
+    # (train_separate.py:184-298)
+    if cfg.tpu.mesh_data * cfg.tpu.mesh_model > 1:
+        return _run_separate_training_mesh(
+            cfg, train_dataset, val_dataset, workdir, gt_lookup, eval_every,
+            max_epoch, cap_multiple, max_objects, model, optimizer,
+        )
+
     # dense backbone on TPU, as in the joint loop: the masked dense Conv3D
     # twin trains on the MXU with the identical parameter tree, so
     # checkpoints and the validation pipeline interchange freely
@@ -135,6 +145,72 @@ def run_separate_training(
                             state, epoch)
             ret = run_separate_validation(cfg, model, state, val_dataset,
                                           gt_lookup)
+    return state, ret
+
+
+def _run_separate_training_mesh(cfg, train_dataset, val_dataset, workdir,
+                                gt_lookup, eval_every, max_epoch,
+                                cap_multiple, max_objects, model, optimizer):
+    """Distributed separate training over a (data, model) mesh; mirrors
+    train.joint_loop._run_joint_training_mesh with separate_losses."""
+    import jax
+
+    from canonicalvoting_tpu.data.collate import collate_separate_sharded
+    from canonicalvoting_tpu.parallel.data_parallel import (
+        make_dp_train_step_separate,
+        shard_train_state,
+    )
+    from canonicalvoting_tpu.parallel.mesh import make_mesh
+
+    dp, tp = cfg.tpu.mesh_data, cfg.tpu.mesh_model
+    mesh = make_mesh(dp, tp)
+    logger.info("[%s] mesh training: data=%d, model=%d", cfg.category, dp, tp)
+
+    loader = DataLoader(
+        train_dataset, batch_size=cfg.batch_size * dp,
+        collate_fn=lambda it: collate_separate_sharded(
+            it, dp, cap_multiple=cap_multiple, max_objects=max_objects),
+        shuffle=True, num_workers=cfg.num_workers, drop_last=True,
+    )
+    first = next(iter(loader))
+    feats0 = first["feats"][0]
+    pyr0 = jax.tree_util.tree_map(lambda x: x[0], first["pyramid"])
+    state = create_train_state(model, optimizer, feats0, pyr0)
+
+    start_epoch = cfg.start_epoch
+    ckpt = latest_checkpoint(workdir)
+    if ckpt is not None:
+        state, saved_epoch = restore_checkpoint(ckpt, state)
+        start_epoch = saved_epoch + 1
+        logger.info("[%s] resumed from %s (epoch %d)", cfg.category, ckpt,
+                    saved_epoch)
+
+    state = shard_train_state(state, mesh)
+    step_fn = make_dp_train_step_separate(
+        model.clone(bn_axis="batch"), optimizer, cfg, mesh, max_objects)
+
+    meter = AverageMeter()
+    ret = None
+    for epoch in range(start_epoch, max_epoch + 1):
+        lr = jnp.float32(lr_for_epoch(
+            epoch, cfg.opt.learning_rate, cfg.lr_decay_steps,
+            cfg.lr_decay_rates))
+        mom = jnp.float32(bn_momentum_for_epoch(
+            epoch, cfg.opt.bn_decay_step, cfg.opt.bn_decay_rate))
+        meter.reset()
+        t0 = time.time()
+        for batch in loader:
+            state, losses = step_fn(state, batch, lr, mom)
+            meter.update(float(losses["loss"]))
+        logger.info("[%s] epoch %d: loss=%.4f (%.1fs, mesh=%dx%d)",
+                    cfg.category, epoch, meter.avg, time.time() - t0, dp, tp)
+        if epoch % eval_every == 0:
+            host_state = jax.tree_util.tree_map(
+                lambda x: np.asarray(jax.device_get(x)), state)
+            save_checkpoint(os.path.join(workdir, f"epoch{epoch}.ckpt"),
+                            host_state, epoch)
+            ret = run_separate_validation(cfg, model, host_state,
+                                          val_dataset, gt_lookup)
     return state, ret
 
 

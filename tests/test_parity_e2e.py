@@ -50,22 +50,11 @@ def test_hv_vec_oracle_matches_loop_oracle(rng):
         np.testing.assert_allclose(x, y, atol=1e-11)
 
 
-def encode_head_rows(points_w, xyz, scl, prob_is_high, cls, cap,
-                     nclasses=NCLASSES):
-    """Perfect predictions -> raw (cap, 6*n + n + 1) head rows, so the
-    chain is tested THROUGH the head slicing (eval_joint.py:173-190)."""
-    n = len(points_w)
-    rows = np.zeros((cap, 6 * nclasses + nclasses + 1), np.float32)
-    r = np.arange(n)
-    slot = np.where(prob_is_high, cls, 0)
-    xyz_all = rows[:, : 3 * nclasses].reshape(cap, nclasses, 3)
-    scale_all = rows[:, 3 * nclasses: 6 * nclasses].reshape(cap, nclasses, 3)
-    xyz_all[r, slot] = xyz
-    scale_all[r, slot] = np.log(scl)
-    logits = rows[:, 6 * nclasses:]
-    hot = np.where(prob_is_high, cls, nclasses)
-    logits[r, hot] = 4.0  # softmax prob ~0.858 fg / ~0.016 bg
-    return rows
+# canonical implementation lives in the package (also feeds the planted
+# bench tail); re-exported here for the parity tests and tests_tpu
+from canonicalvoting_tpu.data.synthetic import (  # noqa: E402
+    encode_joint_head_rows as encode_head_rows,
+)
 
 
 def _pipeline(res):

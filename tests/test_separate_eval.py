@@ -152,3 +152,45 @@ def test_separate_pipeline_grouped_matches_single(rng):
     d1 = pipe1.postprocess(out1)
     d2 = pipe2.postprocess(out2)
     assert len(d1) == len(d2)
+
+
+def test_shared_prefold_stem_matches_plain_applies(rng):
+    """stem_impl="prefold" with the fold HOISTED into shared_scene_grids
+    (x_folded) == the plain per-model apply (which folds inside), exactly —
+    and matches the tiled-stem path numerically. The hoist makes the 25-tap
+    stem fold run once per scene instead of once per category."""
+    coords, feats_raw = _scene(rng)
+    n = len(coords)
+    model = DenseMinkUNet(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=TINY_PLANES, init_dim=8, compute_dtype="float32",
+        conv_impl="tiled_interpret", stem_impl="prefold",
+    )
+    base, dims = dense_grid_geometry(coords)
+    flat = dense_flat_ids(coords, base, dims)
+    valid = np.ones((n,), np.float32)
+    tiles = level_tiles(coords, base, dims)
+    va = model.init(jax.random.PRNGKey(0), feats_raw, flat, valid, dims,
+                    False, tiles=tiles)
+
+    plain = np.asarray(model.apply(va, feats_raw, flat, valid, dims,
+                                   False, tiles=tiles))
+
+    shared = shared_scene_grids(
+        feats_raw, flat, valid, dims, in_channels=3,
+        compute_dtype="float32", stem_impl="prefold")
+    assert "x_folded" in shared
+    hoisted = np.asarray(model.apply(va, feats_raw, flat, valid, dims,
+                                     False, tiles=tiles, shared=shared))
+    np.testing.assert_array_equal(hoisted, plain)
+
+    # numerically equivalent to the tiled-stem execution (different lane
+    # order in the fold => reassociated sums; tolerance, not bitwise)
+    model_t = DenseMinkUNet(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=TINY_PLANES, init_dim=8, compute_dtype="float32",
+        conv_impl="tiled_interpret", stem_impl="tiled",
+    )
+    tiled = np.asarray(model_t.apply(va, feats_raw, flat, valid, dims,
+                                     False, tiles=tiles))
+    np.testing.assert_allclose(hoisted, tiled, atol=2e-4, rtol=1e-4)
