@@ -22,16 +22,25 @@ import numpy as np
 def bench_separate():
     """9-category (separate-models) configuration: scenes/sec with all 9
     per-category backbones + votes + peels per scene (the reference's most
-    expensive path, eval_separate.py:165-186). Run: python bench.py --separate
+    expensive path, eval_separate.py:165-186). The timed tail decodes
+    PLANTED per-category head rows (each category detects its own planted
+    boxes), so the number includes realistic accepted peels + lazy
+    rot/scale refits + NMS; --random keeps the detection-free legacy loop.
+    Run: python bench.py --separate
     """
     import jax
 
-    from canonicalvoting_tpu.data.synthetic import make_scene
+    from canonicalvoting_tpu.data.synthetic import (
+        encode_separate_head_rows,
+        make_scene,
+        perfect_predictions,
+    )
     from canonicalvoting_tpu.decode.peeling import PeelConfig
     from canonicalvoting_tpu.eval.separate import SeparateDetectionPipeline
     from canonicalvoting_tpu.models import MinkUNet34C
     from canonicalvoting_tpu.ops.voxelize import sparse_quantize
 
+    random_tail = "--random" in sys.argv
     rng = np.random.RandomState(0)
     res = 0.03
     n_scenes = 2
@@ -70,22 +79,48 @@ def bench_separate():
     # measured a ~24% e2e loss — RESULTS_r4.md)
     pipe.set_variables_list([var1] * 9)
 
-    for args in prepped:
-        out = pipe.run_scene(args)
-        int(np.asarray(out["n_boxes"]).sum())
+    # planted per-category rows: category c's binary head fires on the
+    # points of the scene's class-c boxes, so each category peels ITS
+    # boxes (~6 accepted peels/scene total across categories)
+    planted = [None] * len(prepped)
+    if not random_tail and pipe.backbone == "dense":
+        planted = []
+        for s, args in zip(scenes, prepped):
+            coords_w, valid = np.asarray(args[4]), np.asarray(args[3]) > 0
+            points_w = coords_w[valid]
+            xyz, scl, prob, cls = perfect_predictions(s, points_w)
+            rows = np.stack([
+                encode_separate_head_rows(
+                    points_w, xyz, scl, (prob > 0.5) & (cls == c),
+                    len(valid))
+                for c in range(9)
+            ])
+            planted.append(jax.device_put(rows))
+
+    total_boxes = 0
+    for args, rows in zip(prepped, planted):
+        out = pipe.run_scene(args, planted=rows)
+        total_boxes += int(np.asarray(out["n_boxes"]).sum())
+    if not random_tail and pipe.backbone == "dense":
+        assert total_boxes >= 4 * len(prepped), (
+            "planted scenes must carry their boxes", total_boxes)
 
     n_passes = int(os.environ.get("BENCH_PASSES", "3"))
     rates = []
+    n_dets = 0
     for p in range(n_passes):
         t0 = time.time()
-        outs = [pipe.run_scene(args) for args in prepped]
+        outs = [pipe.run_scene(args, planted=rows)
+                for args, rows in zip(prepped, planted)]
         total = 0
+        n_dets = 0
         for out in outs:
-            pipe.postprocess(out)
+            n_dets += len(pipe.postprocess(out))
             total += 1
         elapsed = time.time() - t0
         sps = total / elapsed
-        print(f"pass {p}: {sps:.3f} scenes/s (9 models)", file=sys.stderr)
+        print(f"pass {p}: {sps:.3f} scenes/s (9 models, {n_dets} dets)",
+              file=sys.stderr)
         rates.append(sps)
     best, median = max(rates), sorted(rates)[len(rates) // 2]
     print(json.dumps({
@@ -94,6 +129,8 @@ def bench_separate():
         "unit": "scenes/sec/chip",
         "best": round(best, 3),
         "median": round(median, 3),
+        "detections": n_dets,
+        "tail": "random" if planted[0] is None else "planted",
     }))
 
 
@@ -127,7 +164,10 @@ def bench_train():
         coords, idx = sparse_quantize(s.points, res)
         items.append((f"scene{i}", coords, s.rgb[idx], s.xyz_labels[idx],
                       s.scale_labels[idx], s.class_labels[idx]))
-    batch = collate_joint_dense(items, cap_multiple=8192)
+    # per-block remat + scene-at-a-time grad accumulation: the whole-batch
+    # dense backward at this scale wants 129.7 GB vs 15.75 GB HBM
+    # (RESULTS_r5.md); one optimizer update still covers the 3-scene batch
+    batch = collate_joint_dense(items, cap_multiple=8192, microbatch=1)
 
     cfg = load_config(None, [])
     model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
@@ -135,7 +175,7 @@ def bench_train():
         in_channels=model.in_channels, out_channels=model.out_channels,
         block=model.block, layers=model.layers, planes=model.planes,
         init_dim=model.init_dim, stem_kernel=model.stem_kernel,
-        compute_dtype=model.compute_dtype, conv_impl="xla",
+        compute_dtype=model.compute_dtype, conv_impl="xla", remat=True,
     )
     optimizer = make_optimizer(cfg.weight_decay)
     state = create_train_state_dense(train_model, optimizer, batch)

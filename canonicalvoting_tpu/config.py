@@ -59,6 +59,15 @@ class TPUConfig:
     # default), "gather" (kernel-map gather-GEMM), or "auto" (dense on TPU,
     # gather elsewhere). Parameter trees are identical either way.
     train_backbone: str = "auto"
+    # Dense-train memory controls (RESULTS_r5.md): per-block remat
+    # (activations recompute in the backward) and scene-at-a-time gradient
+    # accumulation (0 = whole batch in one step; k = microbatches of k
+    # scenes, grads averaged, one optimizer update per global batch — BN
+    # statistics then run per microbatch). At ScanNet scale the
+    # un-rematted batch-3 backward wants 129.7 GB vs 15.75 GB HBM, so the
+    # TPU defaults are remat + microbatch 1.
+    train_remat: bool = True
+    train_microbatch: int = 0  # 0 = off; "auto" in the loop -> 1 on TPU
     # Mesh axis sizes for distributed runs; (1, 1) = single chip.
     mesh_data: int = 1
     mesh_model: int = 1

@@ -94,19 +94,56 @@ def collate_joint_sharded(items: Sequence, n_shards: int,
 
 
 def collate_joint_dense(items: Sequence, cap_multiple: int = 4096,
-                        feats_rescale: bool = True) -> Dict:
+                        feats_rescale: bool = True, microbatch: int = 0,
+                        grid_dims=None, cap=None) -> Dict:
     """Joint batch for the dense-execution backbone: instead of the
     coordinate pyramid, rows carry flat MARGINED cell ids into a stacked
     (B, X, Y, Z) grid (data.dense_prep.dense_flat_ids_batched). Labels and
     row order are identical to collate_joint, so the same loss applies.
     ``meta.grid_dims`` / ``meta.n_scenes`` are the step's static args.
+
+    ``microbatch=k`` splits the batch into ceil(B/k)-scene microbatches
+    with PINNED shared grid dims and row caps (one compile serves all) for
+    gradient accumulation: returns {"microbatches": [batch, ...], "meta"}.
     """
-    from canonicalvoting_tpu.data.dense_prep import dense_flat_ids_batched
+    from canonicalvoting_tpu.data.dense_prep import (
+        dense_flat_ids_batched,
+        dense_grid_geometry,
+    )
+
+    if microbatch:
+        assert len(items) % microbatch == 0, (
+            "batch size must divide by the microbatch size "
+            f"({len(items)} % {microbatch})")
+        dims = tuple(
+            int(max(dense_grid_geometry(it[1])[1][a] for it in items))
+            for a in range(3)
+        )
+        groups = [list(items[i:i + microbatch])
+                  for i in range(0, len(items), microbatch)]
+        cap_nat = max(
+            int(np.ceil(sum(len(it[1]) for it in g) / cap_multiple)
+                * cap_multiple)
+            for g in groups
+        )
+        mbs = [
+            collate_joint_dense(g, cap_multiple=cap_multiple,
+                                feats_rescale=feats_rescale,
+                                grid_dims=dims, cap=cap_nat)
+            for g in groups
+        ]
+        return {
+            "microbatches": mbs,
+            "meta": {"ids": [it[0] for it in items], "grid_dims": dims,
+                     "n_scenes": microbatch},
+        }
 
     ids, coords, feats, xyz_l, scale_l, class_l = zip(*items)
-    flat, dims, _bases = dense_flat_ids_batched(list(coords))
+    flat, dims, _bases = dense_flat_ids_batched(list(coords),
+                                                dims=grid_dims)
     n = len(flat)
-    cap0 = int(np.ceil(n / cap_multiple) * cap_multiple)
+    cap0 = cap if cap is not None \
+        else int(np.ceil(n / cap_multiple) * cap_multiple)
 
     feats_b = _pad(np.concatenate(feats, 0), cap0, 0.0).astype(np.float32)
     if feats_rescale:

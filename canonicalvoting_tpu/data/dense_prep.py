@@ -189,18 +189,23 @@ def dense_flat_ids(coords: np.ndarray, base: np.ndarray,
     return np.where(ok, flat, -1).astype(np.int32)
 
 
-def dense_flat_ids_batched(coords_list):
+def dense_flat_ids_batched(coords_list, dims=None):
     """Batched flat ids for a list of scenes sharing one (max) grid size.
 
     Per scene computes its own base; the common INTERIOR dims are the
     elementwise max over scenes (already 16/32-aligned), so every scene's
-    points fit. Scene ``s``'s ids are offset by ``s * n_cells_margined``
-    into the stacked id space DenseMinkUNet(n_scenes=B) scatters into.
+    points fit — or ``dims`` when given (pinned across the microbatches of
+    a gradient-accumulation batch so one compile serves them all). Scene
+    ``s``'s ids are offset by ``s * n_cells_margined`` into the stacked id
+    space DenseMinkUNet(n_scenes=B) scatters into.
 
     Returns (flat_concat (sum Ni,), dims (X, Y, Z), bases [B x (3,)]).
     """
     geo = [dense_grid_geometry(c) for c in coords_list]
-    dims = tuple(int(max(g[1][a] for g in geo)) for a in range(3))
+    if dims is None:
+        dims = tuple(int(max(g[1][a] for g in geo)) for a in range(3))
+    else:
+        dims = tuple(int(d) for d in dims)
     n_cells = (dims[0] + 2 * MX) * (dims[1] + 2 * MY) * (dims[2] + 2 * MZ)
     flats = []
     for s, (c, (base, _)) in enumerate(zip(coords_list, geo)):

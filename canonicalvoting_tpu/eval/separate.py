@@ -249,7 +249,7 @@ class SeparateDetectionPipeline:
                                             "run_spec"))
         def scene_fn(stacked_vars, feats, flat, valid, coords_w, dense_dims,
                      grid_shape, tiles, run_spec=(), run_tiles=None,
-                     occ_packs=None):
+                     occ_packs=None, planted=None):
             from canonicalvoting_tpu.models.dense_unet import (
                 fresh_l0_donors, shared_scene_grids)
 
@@ -292,8 +292,22 @@ class SeparateDetectionPipeline:
                     jnp.asarray(grid_shape, jnp.int32),
                 )
 
-                def per_cat(carry, variables):
+                def per_cat(carry, xs):
+                    # planted (C, cap, 8) rows: the backbone still runs
+                    # (same program) but the tail decodes the planted
+                    # detection-bearing heads — the honest-bench hook
+                    # (bench.py --separate), mirroring the joint bench
+                    variables = xs[0] if planted is not None else xs
                     out, new_carry = backbone_heads(carry, variables)
+                    if planted is not None:
+                        # runtime-opaque select: a constant-False predicate
+                        # would let XLA dead-code-eliminate the entire
+                        # backbone out of the program (measured: 5.2 vs
+                        # 1.4 scenes/s — a fake number); jnp.where keeps
+                        # both operands live and does not propagate NaNs
+                        # from the unselected branch
+                        never = jnp.sum(valid) < -1.0
+                        out = jnp.where(never, out[:, :8], xs[1])
                     xyz, scale, prob = slice_separate_heads(out)
                     if log_scale:
                         scale = jnp.exp(scale)
@@ -304,8 +318,10 @@ class SeparateDetectionPipeline:
                     )
                     return new_carry, (go, xyz, scale, prob)
 
+                xs = stacked_vars if planted is None \
+                    else (stacked_vars, planted)
                 _, (gos, xyzs, scales, probs) = jax.lax.scan(
-                    per_cat, donors, stacked_vars)
+                    per_cat, donors, xs)
 
                 def peel_one(go, xyz, scale, prob):
                     def rot_scale_fn(cand):
@@ -363,17 +379,26 @@ class SeparateDetectionPipeline:
             conv_impl=self.conv_impl,
         )
 
-    def run_scene(self, args, peel: PeelConfig = None):
-        """One device program covering all categories for one scene."""
+    def run_scene(self, args, peel: PeelConfig = None, planted=None):
+        """One device program covering all categories for one scene.
+
+        ``planted``: optional (C, cap, 8) head rows decoded in place of
+        the backbone output (which still runs) — the detection-bearing
+        bench hook; dense fast path only.
+        """
         if args[0] == "dense":
+            assert planted is None or (
+                self.group_size == 1 and bool(self.lazy_rot_scale)), \
+                "planted rows need the vmap-peel path (group_size=1, lazy)"
             (_, feats, flat, valid, coords_w, grid_shape, dense_dims,
              tiles, run_spec, run_tiles, occ_packs) = args
             return self._scene_fn_dense_for(peel or self.peel)(
                 self.stacked_variables, feats, flat, valid, coords_w,
                 tuple(dense_dims), grid_shape, tiles,
                 run_spec=run_spec, run_tiles=run_tiles,
-                occ_packs=occ_packs,
+                occ_packs=occ_packs, planted=planted,
             )
+        assert planted is None, "planted rows need the dense fast path"
         _, feats, pyramid, coords_w, grid_shape = args
         return self._scene_fn_sparse_for(peel or self.peel)(
             self.stacked_variables, feats, pyramid, coords_w, grid_shape

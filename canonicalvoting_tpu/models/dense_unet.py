@@ -647,6 +647,12 @@ class DenseMinkUNet(nn.Module):
     # the k=5 stem: "tiled" (Pallas compact fold on STEM_TILE_PLAN tiles)
     # or "xla" (dense conv)
     stem_impl: str = "tiled"
+    # rematerialize each residual block in the TRAIN backward pass
+    # (jax.checkpoint via nn.remat): the XLA dense backward at ScanNet
+    # scale otherwise stores every conv activation grid (measured 129.7 GB
+    # wanted vs 15.75 GB HBM at batch 3 — RESULTS_r5.md); with per-block
+    # remat only block inputs are stored and internals recompute
+    remat: bool = False
 
     def _blocks(self, name, x, occ, in_ch, planes, n_blocks, train, mom,
                 tiles=None, ts_group=None, occp=None, occe=None,
@@ -662,6 +668,12 @@ class DenseMinkUNet(nn.Module):
         # caller (e.g. the up's consumed skip) so even the stack's first
         # conv1 skips its full-grid zero fill
         c1_buf = [donate_first]
+        use_remat = self.remat and train
+
+        def call_rematted(mdl, x, occ, mom):
+            # train path: no tile/occ-pack kwargs; `train` baked via closure
+            return mdl(x, occ, True, mom)
+
         for j in range(n_blocks):
             if blk is DenseBasicBlock:
                 # only the group's first block sees the up kernel's
@@ -669,11 +681,14 @@ class DenseMinkUNet(nn.Module):
                 kw["in_perm"] = in_perm if j == 0 else None
                 # conv1 buffer reuse across the stack (see DenseBasicBlock)
                 kw["c1_buf"] = c1_buf
-            x = blk(ch, planes, compute_dtype=self.compute_dtype,
-                    bn_axis=self.bn_axis, conv_impl=self.conv_impl,
-                    name=f"{name}_{j}")(
-                x, occ, train, mom, tiles=tiles, ts_group=ts_group,
-                occp=occp, **kw)
+            mdl = blk(ch, planes, compute_dtype=self.compute_dtype,
+                      bn_axis=self.bn_axis, conv_impl=self.conv_impl,
+                      name=f"{name}_{j}")
+            if use_remat:
+                x = nn.remat(call_rematted)(mdl, x, occ, mom)
+            else:
+                x = mdl(x, occ, train, mom, tiles=tiles, ts_group=ts_group,
+                        occp=occp, **kw)
             ch = planes * exp
         assert not isinstance(x, tuple)
         if return_c1:

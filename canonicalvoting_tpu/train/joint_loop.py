@@ -80,9 +80,12 @@ def run_joint_training(
     # identical parameter tree, so checkpoints and the validation pipeline
     # (which rebuilds its own dense twin) interchange freely
     backbone = cfg.tpu.train_backbone
+    on_tpu = jax.default_backend() == "tpu"
     if backbone == "auto":
-        backbone = "dense" if jax.default_backend() == "tpu" else "gather"
+        backbone = "dense" if on_tpu else "gather"
     if backbone == "dense":
+        import functools
+
         from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
 
         train_model = DenseMinkUNet(
@@ -90,8 +93,15 @@ def run_joint_training(
             block=model.block, layers=model.layers, planes=model.planes,
             init_dim=model.init_dim, stem_kernel=model.stem_kernel,
             compute_dtype=model.compute_dtype, conv_impl="xla",
+            remat=cfg.tpu.train_remat,
         )
-        collate = collate_joint_dense
+        # scene-at-a-time gradient accumulation on TPU: the batch-3 dense
+        # backward at ScanNet scale exceeds HBM even with remat
+        # (RESULTS_r5.md); microbatch=0 keeps the whole-batch step
+        mb = cfg.tpu.train_microbatch
+        if mb == 0 and on_tpu:
+            mb = 1
+        collate = functools.partial(collate_joint_dense, microbatch=mb)
     else:
         train_model = model
         collate = collate_joint

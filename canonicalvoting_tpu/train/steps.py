@@ -62,7 +62,13 @@ def create_train_state(model, optimizer, feats, pyramid) -> TrainState:
 
 
 def create_train_state_dense(model, optimizer, batch) -> TrainState:
-    """Init from a collate_joint_dense batch (DenseMinkUNet backbone)."""
+    """Init from a collate_joint_dense batch (DenseMinkUNet backbone);
+    accepts a gradient-accumulation batch (uses its first microbatch)."""
+    if "microbatches" in batch:
+        meta = batch["meta"]
+        batch = dict(batch["microbatches"][0])
+        batch["meta"] = {"grid_dims": meta["grid_dims"],
+                         "n_scenes": meta["n_scenes"]}
     meta = batch["meta"]
     init_fn = jax.jit(
         lambda rng, f, i, v: model.init(
@@ -159,7 +165,47 @@ def make_joint_train_step(model, optimizer, cfg,
         )(state.params)
         return _update(state, losses, new_stats, grads, lr)
 
+    @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
+    def _grads_dense(params, batch_stats, batch, bn_momentum, grid_dims,
+                     n_scenes):
+        def loss_fn(params):
+            losses, new_stats = _apply_and_losses(
+                params, batch_stats, batch, bn_momentum,
+                grid_dims, n_scenes)
+            return losses["loss"], (losses, new_stats)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return losses, new_stats, grads
+
+    @jax.jit
+    def _accum_apply(state: TrainState, grads_list, losses_list, new_stats,
+                     lr):
+        k = float(len(grads_list))
+        grads = jax.tree_util.tree_map(
+            lambda *gs: sum(gs) / k, *grads_list)
+        losses = jax.tree_util.tree_map(
+            lambda *ls: sum(ls) / k, *losses_list)
+        return _update(state, losses, new_stats, grads, lr)
+
     def step(state, batch, lr, bn_momentum):
+        if backbone == "dense" and "microbatches" in batch:
+            # gradient accumulation: one grad pass per microbatch (BN
+            # stats thread sequentially — per-microbatch statistics, a
+            # documented deviation from whole-batch BN), grads averaged,
+            # ONE optimizer update per global batch
+            meta = batch["meta"]
+            gd, nsc = tuple(meta["grid_dims"]), meta["n_scenes"]
+            stats = state.batch_stats
+            grads_list, losses_list = [], []
+            for mb in batch["microbatches"]:
+                losses, stats, grads = _grads_dense(
+                    state.params, stats, _strip_meta(mb), bn_momentum,
+                    gd, nsc)
+                grads_list.append(grads)
+                losses_list.append(losses)
+            return _accum_apply(state, grads_list, losses_list, stats, lr)
         if backbone == "dense":
             meta = batch["meta"]
             return _step_dense(state, _strip_meta(batch), lr, bn_momentum,

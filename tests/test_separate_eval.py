@@ -194,3 +194,64 @@ def test_shared_prefold_stem_matches_plain_applies(rng):
     tiled = np.asarray(model_t.apply(va, feats_raw, flat, valid, dims,
                                      False, tiles=tiles))
     np.testing.assert_allclose(hoisted, tiled, atol=2e-4, rtol=1e-4)
+
+
+def test_separate_planted_rows_detect_boxes(rng):
+    """run_scene(planted=...) decodes the planted per-category heads (the
+    honest-bench hook): category c detects its planted class-c box while
+    the other categories stay empty."""
+    from canonicalvoting_tpu.data.synthetic import (
+        encode_separate_head_rows,
+        make_scene,
+        perfect_predictions,
+    )
+    from canonicalvoting_tpu.decode.peeling import PeelConfig
+    from canonicalvoting_tpu.eval.separate import (
+        SeparateDetectionPipeline,
+        stack_variables,
+    )
+
+    res = 0.05
+    sc = make_scene(rng, extent=(2.0, 1.2, 2.0), n_background=4000,
+                    n_boxes=2, pts_per_box=1500)
+    coords, idx = sparse_quantize(sc.points, res)
+    cats = ["c0", "c1", "c2"]
+    model = MinkUNetBase(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=TINY_PLANES, init_dim=8, compute_dtype="float32",
+    )
+    pipe = SeparateDetectionPipeline(
+        model=model, stacked_variables=None, categories=cats, res=res,
+        num_rots=24, backbone="dense", conv_impl="tiled_interpret",
+        grid_multiple=16, cap_multiple=512,
+        peel=PeelConfig(res=res, max_boxes=8, max_iters=24,
+                        elimination_inclusive=False),
+    )
+    args = pipe.prepare_quantized(coords, rng.rand(len(coords), 3)
+                                  .astype(np.float32))
+    _, feats, flat, valid = args[:4]
+    dm = pipe._dense_model
+    vs = [dm.init(jax.random.PRNGKey(i), feats, flat, valid,
+                  tuple(args[6]), False) for i in range(len(cats))]
+    pipe.set_variables_list(vs)
+
+    coords_w = np.asarray(args[4])
+    vmask = np.asarray(args[3]) > 0
+    points_w = coords_w[vmask]
+    xyz, scl, prob, cls = perfect_predictions(sc, points_w)
+    # plant box classes into categories 0/1 by scene box order
+    cls_cat = np.zeros_like(cls)
+    for bi, b in enumerate(sc.boxes):
+        cls_cat[cls == b.class_idx] = bi
+    rows = np.stack([
+        encode_separate_head_rows(points_w, xyz, scl,
+                                  (prob > 0.5) & (cls_cat == c),
+                                  len(vmask))
+        for c in range(len(cats))
+    ])
+    out = pipe.run_scene(args, planted=rows)
+    n_boxes = np.asarray(out["n_boxes"])
+    assert n_boxes[0] >= 1 and n_boxes[1] >= 1
+    assert n_boxes[2] == 0
+    dets = pipe.postprocess(out)
+    assert all(c in ("c0", "c1") for c, _b, _s in dets)
