@@ -135,25 +135,30 @@ def bench_separate():
 
 
 def bench_train():
-    """Joint training throughput: steps/sec with the dense (MXU) backbone,
-    ScanNet-scale batch of 3 scenes (reference config/config.yaml:15).
-    Run: python bench.py --train
+    """Joint training throughput: steps/sec at the ScanNet-scale batch of 3
+    scenes (reference config/config.yaml:15). Backbone via
+    CV_TRAIN_BACKBONE (gather | dense); the dense backward needs more HBM
+    than the chip has even with remat + scene microbatching (30.2 GB vs
+    15.75 — RESULTS_r5.md), so the memory-safe row-format backbone is the
+    measured default. Run: python bench.py --train
     """
     import jax
 
     from canonicalvoting_tpu.config import load_config
-    from canonicalvoting_tpu.data.collate import collate_joint_dense
+    from canonicalvoting_tpu.data.collate import collate_joint, collate_joint_dense
     from canonicalvoting_tpu.data.geometry import NCLASSES
     from canonicalvoting_tpu.data.synthetic import make_scene
     from canonicalvoting_tpu.models import MinkUNet34C
     from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
     from canonicalvoting_tpu.ops.voxelize import sparse_quantize
     from canonicalvoting_tpu.train.steps import (
+        create_train_state,
         create_train_state_dense,
         make_joint_train_step,
         make_optimizer,
     )
 
+    backbone = os.environ.get("CV_TRAIN_BACKBONE", "gather")
     rng = np.random.RandomState(0)
     res = 0.03
     batch_scenes = 3  # reference batch size (config/config.yaml:15)
@@ -164,23 +169,31 @@ def bench_train():
         coords, idx = sparse_quantize(s.points, res)
         items.append((f"scene{i}", coords, s.rgb[idx], s.xyz_labels[idx],
                       s.scale_labels[idx], s.class_labels[idx]))
-    # per-block remat + scene-at-a-time grad accumulation: the whole-batch
-    # dense backward at this scale wants 129.7 GB vs 15.75 GB HBM
-    # (RESULTS_r5.md); one optimizer update still covers the 3-scene batch
-    batch = collate_joint_dense(items, cap_multiple=8192, microbatch=1)
 
     cfg = load_config(None, [])
     model = MinkUNet34C(3, 6 * NCLASSES + NCLASSES + 1)
-    train_model = DenseMinkUNet(
-        in_channels=model.in_channels, out_channels=model.out_channels,
-        block=model.block, layers=model.layers, planes=model.planes,
-        init_dim=model.init_dim, stem_kernel=model.stem_kernel,
-        compute_dtype=model.compute_dtype, conv_impl="xla", remat=True,
-    )
     optimizer = make_optimizer(cfg.weight_decay)
-    state = create_train_state_dense(train_model, optimizer, batch)
+    if backbone == "dense":
+        # per-block remat + scene-at-a-time grad accumulation; one
+        # optimizer update still covers the 3-scene batch
+        batch = collate_joint_dense(items, cap_multiple=8192, microbatch=1)
+        train_model = DenseMinkUNet(
+            in_channels=model.in_channels, out_channels=model.out_channels,
+            block=model.block, layers=model.layers, planes=model.planes,
+            init_dim=model.init_dim, stem_kernel=model.stem_kernel,
+            compute_dtype=model.compute_dtype, conv_impl="xla", remat=True,
+        )
+        state = create_train_state_dense(train_model, optimizer, batch)
+    else:
+        # scene-at-a-time grad accumulation here too: batch-3 gather
+        # backward wants 19.9 GB vs 15.75 (RESULTS_r5.md)
+        batch = collate_joint(items, cap_multiple=8192, microbatch=1)
+        mb0 = batch["microbatches"][0]
+        train_model = model
+        state = create_train_state(model, optimizer, mb0["feats"],
+                                   mb0["pyramid"])
     step_fn = make_joint_train_step(train_model, optimizer, cfg,
-                                    backbone="dense")
+                                    backbone=backbone)
 
     # warmup / compile; float() is a real sync barrier through the relay
     state, losses = step_fn(state, batch, 1e-3, 0.1)
@@ -207,6 +220,7 @@ def bench_train():
         "best": round(best, 3),
         "median": round(median, 3),
         "scenes_per_sec": round(median * batch_scenes, 3),
+        "backbone": backbone,
     }))
 
 

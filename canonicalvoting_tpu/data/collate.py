@@ -24,13 +24,43 @@ def _pad(arr: np.ndarray, cap: int, fill) -> np.ndarray:
 
 
 def collate_joint(items: Sequence, cap_multiple: int = 4096,
-                  feats_rescale: bool = True, capacities=None) -> Dict:
+                  feats_rescale: bool = True, capacities=None,
+                  microbatch: int = 0) -> Dict:
     """items: (id_scan, coords, feats, xyz_labels, scale_labels, class_labels).
 
     Returns a device-ready batch dict plus host metadata. ``capacities``
     pins the per-level pyramid capacities (identical static shapes across
     shards of a data-parallel batch; see collate_joint_sharded).
+    ``microbatch=k`` returns gradient-accumulation microbatches of k
+    scenes with pinned capacities (the batch-3 gather backward at ScanNet
+    scale wants 19.9 GB vs 15.75 GB HBM — RESULTS_r5.md).
     """
+    if microbatch:
+        assert len(items) % microbatch == 0, (
+            "batch size must divide by the microbatch size "
+            f"({len(items)} % {microbatch})")
+        groups = [list(items[i:i + microbatch])
+                  for i in range(0, len(items), microbatch)]
+        pyrs = [
+            build_pyramid(
+                batched_coordinates([it[1] for it in g]),
+                PyramidSpec(cap_multiple=cap_multiple),
+            )
+            for g in groups
+        ]
+        nlev = len(pyrs[0].coords)
+        caps = tuple(
+            max(p.coords[lvl].shape[0] for p in pyrs)
+            for lvl in range(nlev)
+        )
+        mbs = [
+            collate_joint(g, feats_rescale=feats_rescale, capacities=caps)
+            for g in groups
+        ]
+        return {
+            "microbatches": mbs,
+            "meta": {"ids": [it[0] for it in items]},
+        }
     ids, coords, feats, xyz_l, scale_l, class_l = zip(*items)
     bcoords = batched_coordinates(coords)
     spec = (PyramidSpec(capacities=tuple(capacities))
@@ -203,7 +233,9 @@ def collate_separate_sharded(items: Sequence, n_shards: int,
 
 def collate_separate(items: Sequence, cap_multiple: int = 4096,
                      max_objects: int = 64, feats_rescale: bool = True,
-                     dense: bool = False, capacities=None) -> Dict:
+                     dense: bool = False, capacities=None,
+                     microbatch: int = 0, grid_dims=None,
+                     cap=None) -> Dict:
     """items: (id_scan, coords, feats, base_xyz, scale_labels, obj_labels,
     class_labels, obj_id, sym_codes). Object ids are offset per scene into a
     batch-global id space for the segment-reduced symmetry loss.
@@ -211,16 +243,49 @@ def collate_separate(items: Sequence, cap_multiple: int = 4096,
     ``dense=True`` emits the dense-execution backbone's row format (flat
     MARGINED cell ids + valid mask instead of the coordinate pyramid,
     mirroring collate_joint_dense) with identical labels and row order, so
-    the same separate_losses applies on either backbone.
+    the same separate_losses applies on either backbone. ``microbatch=k``
+    (dense only) splits into gradient-accumulation microbatches with
+    pinned grid dims + caps, as collate_joint_dense does.
     """
     ids = [it[0] for it in items]
     coords = [it[1] for it in items]
+    if dense and microbatch:
+        from canonicalvoting_tpu.data.dense_prep import dense_grid_geometry
+
+        assert len(items) % microbatch == 0, (
+            "batch size must divide by the microbatch size "
+            f"({len(items)} % {microbatch})")
+        dims = tuple(
+            int(max(dense_grid_geometry(it[1])[1][a] for it in items))
+            for a in range(3)
+        )
+        groups = [list(items[i:i + microbatch])
+                  for i in range(0, len(items), microbatch)]
+        cap_nat = max(
+            int(np.ceil(sum(len(it[1]) for it in g) / cap_multiple)
+                * cap_multiple)
+            for g in groups
+        )
+        mbs = [
+            collate_separate(g, cap_multiple=cap_multiple,
+                             max_objects=max_objects,
+                             feats_rescale=feats_rescale, dense=True,
+                             grid_dims=dims, cap=cap_nat)
+            for g in groups
+        ]
+        return {
+            "microbatches": mbs,
+            "meta": {"ids": ids, "grid_dims": dims,
+                     "n_scenes": microbatch},
+        }
     if dense:
         from canonicalvoting_tpu.data.dense_prep import dense_flat_ids_batched
 
-        flat, dims, _bases = dense_flat_ids_batched(list(coords))
+        flat, dims, _bases = dense_flat_ids_batched(list(coords),
+                                                    dims=grid_dims)
         n = len(flat)
-        cap0 = int(np.ceil(n / cap_multiple) * cap_multiple)
+        cap0 = cap if cap is not None \
+            else int(np.ceil(n / cap_multiple) * cap_multiple)
     else:
         bcoords = batched_coordinates(coords)
         spec = (PyramidSpec(capacities=tuple(capacities))

@@ -151,6 +151,11 @@ class DataLoader:
                     batch_iter = gen()
                 for batch in batch_iter:
                     q.put(batch)
+            except BaseException as e:  # noqa: BLE001
+                # propagate to the consumer: a swallowed worker exception
+                # otherwise surfaces as a bare StopIteration on the first
+                # next() — the actual error hidden in a daemon thread
+                q.put(("__loader_error__", e))
             finally:
                 if tp is not None:
                     tp.shutdown(wait=False)
@@ -162,6 +167,9 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] == "__loader_error__":
+                raise item[1]
             yield item
 
 

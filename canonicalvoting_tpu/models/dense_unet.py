@@ -400,12 +400,16 @@ class DenseBasicBlock(nn.Module):
             # mask/BN path operates on real channels
             return o[..., :self.planes] if o.shape[-1] != self.planes else o
 
+        # occ is f32; cast the mask to the activation dtype — a bare
+        # multiply promotes the whole train-path activation chain to f32,
+        # which doubles the backward's saved-activation memory (measured
+        # 46 GB at ScanNet scale, RESULTS_r5.md)
         out = trim(conv1(x, tiles, ts_group))
-        out = out * occ[..., None]
+        out = out * occ[..., None].astype(out.dtype)
         out = norm1(out, occ, train, momentum)
         out = nn.relu(out)
         out = trim(conv2(out, tiles, ts_group))
-        out = out * occ[..., None]
+        out = out * occ[..., None].astype(out.dtype)
         out = norm2(out, occ, train, momentum)
         return nn.relu(out + residual())
 
@@ -445,7 +449,7 @@ class DenseBottleneck(nn.Module):
             out = trim(out, self.planes)
         else:
             out = trim(conv2(out, tiles, ts_group), self.planes)
-            out = out * occ[..., None]
+            out = out * occ[..., None].astype(out.dtype)
             out = norm2(out, occ, train, momentum)
             out = nn.relu(out)
         out = DenseConv(self.planes, self.planes * e, 1,
@@ -874,7 +878,7 @@ class DenseMinkUNet(nn.Module):
                           donate=donors[0] if donors is not None else None)
         else:
             x = stem(x, None)
-            x = x * occ[0][..., None]
+            x = x * occ[0][..., None].astype(x.dtype)
             x = bn0(x, occ[0], train, mom)
             out_p1 = nn.relu(x)
 
@@ -910,7 +914,7 @@ class DenseMinkUNet(nn.Module):
                     interpret=interp)[None]
             else:
                 x = dn(x)
-                x = x * occ[i + 1][..., None]
+                x = x * occ[i + 1][..., None].astype(x.dtype)
                 x = bn(x, occ[i + 1], train, mom)
                 x = nn.relu(x)
                 if tiled and (i + 1) in tiles:
@@ -993,7 +997,7 @@ class DenseMinkUNet(nn.Module):
                 donate_first = skip
             else:
                 x = up(x)
-                x = x * occ[lvl][..., None]
+                x = x * occ[lvl][..., None].astype(x.dtype)
                 x = bn(x, occ[lvl], train, mom)
                 x = nn.relu(x)
                 x = jnp.concatenate([x, skip[..., :skip_chs[lvl]]], axis=-1)

@@ -103,8 +103,15 @@ def run_joint_training(
             mb = 1
         collate = functools.partial(collate_joint_dense, microbatch=mb)
     else:
+        import functools
+
         train_model = model
-        collate = collate_joint
+        # the gather backward needs scene microbatching at ScanNet scale
+        # too (19.9 GB at batch 3, RESULTS_r5.md)
+        mb = cfg.tpu.train_microbatch
+        if mb == 0 and on_tpu:
+            mb = 1
+        collate = functools.partial(collate_joint, microbatch=mb)
 
     def make_loader(ds, batch_size, shuffle, drop_last):
         return DataLoader(
@@ -121,8 +128,9 @@ def run_joint_training(
     if backbone == "dense":
         state = create_train_state_dense(train_model, optimizer, first)
     else:
-        state = create_train_state(model, optimizer, first["feats"],
-                                   first["pyramid"])
+        f0 = first["microbatches"][0] if "microbatches" in first else first
+        state = create_train_state(model, optimizer, f0["feats"],
+                                   f0["pyramid"])
     step_fn = make_joint_train_step(train_model, optimizer, cfg,
                                     backbone=backbone)
 

@@ -85,8 +85,10 @@ def run_separate_training(
     import jax
 
     backbone = cfg.tpu.train_backbone
+    on_tpu = jax.default_backend() == "tpu"
     if backbone == "auto":
-        backbone = "dense" if jax.default_backend() == "tpu" else "gather"
+        backbone = "dense" if on_tpu else "gather"
+    mb = 0
     if backbone == "dense":
         from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
 
@@ -95,7 +97,14 @@ def run_separate_training(
             block=model.block, layers=model.layers, planes=model.planes,
             init_dim=model.init_dim, stem_kernel=model.stem_kernel,
             compute_dtype=model.compute_dtype, conv_impl="xla",
+            remat=cfg.tpu.train_remat,
         )
+        # remat + scene-at-a-time grad accumulation on TPU, as the joint
+        # loop does (the batch-3 dense backward exceeds HBM otherwise —
+        # RESULTS_r5.md)
+        mb = cfg.tpu.train_microbatch
+        if mb == 0 and on_tpu:
+            mb = 1
     else:
         train_model = model
 
@@ -103,7 +112,7 @@ def run_separate_training(
         train_dataset, batch_size=cfg.batch_size,
         collate_fn=lambda it: collate_separate(
             it, cap_multiple=cap_multiple, max_objects=max_objects,
-            dense=(backbone == "dense"),
+            dense=(backbone == "dense"), microbatch=mb,
         ),
         shuffle=True, num_workers=cfg.num_workers, drop_last=True,
     )

@@ -166,8 +166,8 @@ def make_joint_train_step(model, optimizer, cfg,
         return _update(state, losses, new_stats, grads, lr)
 
     @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
-    def _grads_dense(params, batch_stats, batch, bn_momentum, grid_dims,
-                     n_scenes):
+    def _grads(params, batch_stats, batch, bn_momentum, grid_dims=None,
+               n_scenes=1):
         def loss_fn(params):
             losses, new_stats = _apply_and_losses(
                 params, batch_stats, batch, bn_momentum,
@@ -190,19 +190,23 @@ def make_joint_train_step(model, optimizer, cfg,
         return _update(state, losses, new_stats, grads, lr)
 
     def step(state, batch, lr, bn_momentum):
-        if backbone == "dense" and "microbatches" in batch:
-            # gradient accumulation: one grad pass per microbatch (BN
-            # stats thread sequentially — per-microbatch statistics, a
-            # documented deviation from whole-batch BN), grads averaged,
-            # ONE optimizer update per global batch
+        if "microbatches" in batch:
+            # gradient accumulation (dense OR gather backbone): one grad
+            # pass per microbatch (BN stats thread sequentially —
+            # per-microbatch statistics, a documented deviation from
+            # whole-batch BN), grads averaged, ONE optimizer update per
+            # global batch
             meta = batch["meta"]
-            gd, nsc = tuple(meta["grid_dims"]), meta["n_scenes"]
+            static = {}
+            if backbone == "dense":
+                static = dict(grid_dims=tuple(meta["grid_dims"]),
+                              n_scenes=meta["n_scenes"])
             stats = state.batch_stats
             grads_list, losses_list = [], []
             for mb in batch["microbatches"]:
-                losses, stats, grads = _grads_dense(
+                losses, stats, grads = _grads(
                     state.params, stats, _strip_meta(mb), bn_momentum,
-                    gd, nsc)
+                    **static)
                 grads_list.append(grads)
                 losses_list.append(losses)
             return _accum_apply(state, grads_list, losses_list, stats, lr)
@@ -277,7 +281,48 @@ def make_separate_train_step(model, optimizer, cfg, max_objects: int,
         )(state.params)
         return _update(state, losses, new_stats, grads, lr)
 
+    @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
+    def _grads_dense(params, batch_stats, batch, bn_momentum, grid_dims,
+                     n_scenes):
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["feats"], batch["flat_idx"], batch["valid"],
+                grid_dims, True, bn_momentum, n_scenes=n_scenes,
+                mutable=["batch_stats"],
+            )
+            losses = _losses(batch, out, batch["nvalid"])
+            return losses["loss"], (losses, updates["batch_stats"])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return losses, new_stats, grads
+
+    @jax.jit
+    def _accum_apply(state: TrainState, grads_list, losses_list, new_stats,
+                     lr):
+        k = float(len(grads_list))
+        grads = jax.tree_util.tree_map(
+            lambda *gs: sum(gs) / k, *grads_list)
+        losses = jax.tree_util.tree_map(
+            lambda *ls: sum(ls) / k, *losses_list)
+        return _update(state, losses, new_stats, grads, lr)
+
     def step(state, batch, lr, bn_momentum):
+        if backbone == "dense" and "microbatches" in batch:
+            # gradient accumulation, as in the joint dense step
+            meta = batch["meta"]
+            gd, nsc = tuple(meta["grid_dims"]), meta["n_scenes"]
+            stats = state.batch_stats
+            grads_list, losses_list = [], []
+            for mb in batch["microbatches"]:
+                losses, stats, grads = _grads_dense(
+                    state.params, stats, _strip_meta(mb), bn_momentum,
+                    gd, nsc)
+                grads_list.append(grads)
+                losses_list.append(losses)
+            return _accum_apply(state, grads_list, losses_list, stats, lr)
         if backbone == "dense":
             meta = batch["meta"]
             return _step_dense(state, _strip_meta(batch), lr, bn_momentum,

@@ -617,3 +617,31 @@ def test_dense_accum_two_scenes_runs(rng):
     assert int(state.step) == 2
     assert np.isfinite(float(l0["loss"]))
     assert float(l1["loss"]) < float(l0["loss"])
+
+
+def test_separate_dense_accum_runs(rng):
+    """Separate trainer's gradient-accumulation path (dense backbone,
+    microbatch=1, remat): two grad passes, one optimizer update, finite
+    loss — the TPU memory configuration (RESULTS_r5.md)."""
+    from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
+    from canonicalvoting_tpu.train.steps import create_train_state_dense
+
+    cfg = Config()
+    items = _sep_items(rng, n_scenes=2)
+    batch = collate_separate(items, cap_multiple=512, max_objects=16,
+                             dense=True, microbatch=1)
+    assert len(batch["microbatches"]) == 2
+    assert len({tuple(mb["feats"].shape)
+                for mb in batch["microbatches"]}) == 1
+    model = DenseMinkUNet(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=(8, 16, 16, 16, 16, 16, 8, 8), init_dim=8,
+        compute_dtype="float32", remat=True)
+    optimizer = make_optimizer(0.0)
+    state = create_train_state_dense(model, optimizer, batch)
+    step = make_separate_train_step(model, optimizer, cfg, max_objects=16,
+                                    backbone="dense")
+    state, losses = step(state, batch, jnp.float32(1e-3), jnp.float32(0.5))
+    assert int(state.step) == 1
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
