@@ -185,9 +185,17 @@ def bench_train():
         )
         state = create_train_state_dense(train_model, optimizer, batch)
     else:
+        from canonicalvoting_tpu.train.steps import parse_dense_sites
+
         # scene-at-a-time grad accumulation here too: batch-3 gather
-        # backward wants 19.9 GB vs 15.75 (RESULTS_r5.md)
-        batch = collate_joint(items, cap_multiple=8192, microbatch=1)
+        # backward wants 19.9 GB vs 15.75 (RESULTS_r5.md); flat_levels
+        # feed the scatter-dense conv engine (tpu.train_dense_levels;
+        # override the list via train config, or CV_TRAIN_DENSE_LEVELS)
+        spec = os.environ.get("CV_TRAIN_DENSE_LEVELS",
+                              cfg.tpu.train_dense_levels)
+        cfg.tpu.train_dense_levels = spec
+        batch = collate_joint(items, cap_multiple=8192, microbatch=1,
+                              with_flat_levels=bool(parse_dense_sites(spec)))
         mb0 = batch["microbatches"][0]
         train_model = model
         state = create_train_state(model, optimizer, mb0["feats"],

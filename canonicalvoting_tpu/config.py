@@ -68,6 +68,10 @@ class TPUConfig:
     # TPU defaults are remat + microbatch 1.
     train_remat: bool = True
     train_microbatch: int = 0  # 0 = off; "auto" in the loop -> 1 on TPU
+    # Gather-backbone conv sites routed through the scatter->dense-conv->
+    # gather MXU engine (ops/scatter_conv.py): "" = pure gather, "all", or
+    # a comma list like "stem,0,1,down0,up0" (RESULTS_r5.md A/B).
+    train_dense_levels: str = "all"
     # Mesh axis sizes for distributed runs; (1, 1) = single chip.
     mesh_data: int = 1
     mesh_model: int = 1

@@ -25,7 +25,8 @@ def _pad(arr: np.ndarray, cap: int, fill) -> np.ndarray:
 
 def collate_joint(items: Sequence, cap_multiple: int = 4096,
                   feats_rescale: bool = True, capacities=None,
-                  microbatch: int = 0) -> Dict:
+                  microbatch: int = 0, with_flat_levels: bool = False,
+                  flat_grid_dims=None) -> Dict:
     """items: (id_scan, coords, feats, xyz_labels, scale_labels, class_labels).
 
     Returns a device-ready batch dict plus host metadata. ``capacities``
@@ -34,7 +35,15 @@ def collate_joint(items: Sequence, cap_multiple: int = 4096,
     ``microbatch=k`` returns gradient-accumulation microbatches of k
     scenes with pinned capacities (the batch-3 gather backward at ScanNet
     scale wants 19.9 GB vs 15.75 GB HBM — RESULTS_r5.md).
+    ``with_flat_levels`` adds per-level dense flat ids + meta.grid_dims
+    for the scatter-dense conv engine (ops/scatter_conv.py), with dims
+    pinned across microbatches.
     """
+    from canonicalvoting_tpu.data.dense_prep import (
+        dense_grid_geometry,
+        pyramid_level_flat_ids,
+    )
+
     if microbatch:
         assert len(items) % microbatch == 0, (
             "batch size must divide by the microbatch size "
@@ -53,14 +62,23 @@ def collate_joint(items: Sequence, cap_multiple: int = 4096,
             max(p.coords[lvl].shape[0] for p in pyrs)
             for lvl in range(nlev)
         )
+        dims0 = None
+        if with_flat_levels:
+            dims0 = tuple(
+                int(max(dense_grid_geometry(it[1])[1][a] for it in items))
+                for a in range(3)
+            )
         mbs = [
-            collate_joint(g, feats_rescale=feats_rescale, capacities=caps)
+            collate_joint(g, feats_rescale=feats_rescale, capacities=caps,
+                          with_flat_levels=with_flat_levels,
+                          flat_grid_dims=dims0)
             for g in groups
         ]
-        return {
-            "microbatches": mbs,
-            "meta": {"ids": [it[0] for it in items]},
-        }
+        meta = {"ids": [it[0] for it in items]}
+        if with_flat_levels:
+            meta["grid_dims"] = dims0
+            meta["n_scenes"] = microbatch
+        return {"microbatches": mbs, "meta": meta}
     ids, coords, feats, xyz_l, scale_l, class_l = zip(*items)
     bcoords = batched_coordinates(coords)
     spec = (PyramidSpec(capacities=tuple(capacities))
@@ -73,7 +91,7 @@ def collate_joint(items: Sequence, cap_multiple: int = 4096,
     if feats_rescale:
         # rgb channels to [-1, 1] (train_joint.py:249)
         feats_b[:, -3:] = feats_b[:, -3:] * 2.0 - 1.0
-    return {
+    batch = {
         "meta": {"ids": list(ids), "coords": pyr.coords[0]},
         "feats": feats_b,
         "pyramid": pyr.as_jax_inputs(),
@@ -85,6 +103,16 @@ def collate_joint(items: Sequence, cap_multiple: int = 4096,
             np.concatenate(class_l, 0).astype(np.int32), cap0, NCLASSES
         ),
     }
+    if with_flat_levels:
+        geo = [dense_grid_geometry(c) for c in coords]
+        dims0 = flat_grid_dims or tuple(
+            int(max(g[1][a] for g in geo)) for a in range(3))
+        flats, _dims = pyramid_level_flat_ids(
+            pyr.coords, np.stack([g[0] for g in geo]), dims0)
+        batch["flat_levels"] = tuple(flats)
+        batch["meta"]["grid_dims"] = dims0
+        batch["meta"]["n_scenes"] = len(items)
+    return batch
 
 
 def collate_joint_sharded(items: Sequence, n_shards: int,

@@ -317,3 +317,35 @@ def host_occ_packs(coords: np.ndarray, base: np.ndarray,
     tsg = {k: tile_plan_for_key(k) for k in tiles}
     return build_occ_packs(occ_levels, tiles, tsg, tile_runs=tile_runs,
                            block=block, xp=np)
+
+
+def pyramid_level_flat_ids(coords_levels, scene_bases, dims0):
+    """Per-level stacked flat cell ids for the scatter-dense conv engine
+    (ops/scatter_conv.py).
+
+    coords_levels: the pyramid's per-level (cap_l, 4) batched coords
+    [b, x, y, z] at RAW scale (level-l coords are multiples of 2^l);
+    scene_bases: (B, 3) per-scene bases aligned to STRIDE_ALIGN
+    (dense_grid_geometry); dims0: shared L0 interior dims (multiples of
+    16). Level-l grids are UNMARGINED (B, dims0 >> l); ids index the
+    stacked B * cells space; padding / out-of-grid rows get -1.
+
+    Returns (flat_levels: list[(cap_l,) int32], dims_levels: list[tuple]).
+    """
+    bases = np.asarray(scene_bases, np.int64)
+    B = len(bases)
+    flat_levels, dims_levels = [], []
+    for lvl, c in enumerate(coords_levels):
+        d = tuple(int(x) >> lvl for x in dims0)
+        b = c[:, 0].astype(np.int64)
+        ok_b = (b >= 0) & (b < B)
+        safe_b = np.clip(b, 0, B - 1)
+        base_l = bases[safe_b] >> lvl
+        cell = (c[:, 1:].astype(np.int64) >> lvl) - base_l
+        ok = ok_b & np.all((cell >= 0) & (cell < np.asarray(d)), axis=1)
+        n_cells = d[0] * d[1] * d[2]
+        flat = ((cell[:, 0] * d[1] + cell[:, 1]) * d[2] + cell[:, 2]
+                + b * n_cells)
+        flat_levels.append(np.where(ok, flat, -1).astype(np.int32))
+        dims_levels.append(d)
+    return flat_levels, dims_levels

@@ -54,9 +54,18 @@ class MinkUNetBase(nn.Module):
 
     @nn.compact
     def __call__(self, feats, pyramid: Dict[str, Any], train: bool = False,
-                 bn_momentum=0.1):
-        """feats: (N0, in_channels); pyramid: PyramidArrays.as_jax_inputs()."""
+                 bn_momentum=0.1, dense_plans: Dict = None):
+        """feats: (N0, in_channels); pyramid: PyramidArrays.as_jax_inputs().
+
+        ``dense_plans``: optional {site: ops.scatter_conv.DensePlan}
+        routing selected convs through the scatter->dense-conv->gather MXU
+        engine instead of the K-tap row gathers (the train-throughput
+        winner at ScanNet scale — RESULTS_r5.md). Sites: "stem",
+        ("conv", lvl), ("down", i), ("up", lvl). Unlisted sites keep the
+        gather engine; outputs are identical either way.
+        """
         P = pyramid
+        dp = dense_plans or {}
         nv = P["nvalid"]
         mom = bn_momentum
         dt = self.compute_dtype
@@ -66,9 +75,10 @@ class MinkUNetBase(nn.Module):
         endpoints = []
 
         # --- stem (utils/minkunet.py:53-56, forward :123-125)
+        stem_nbr = dp.get("stem", P["nbr_stem"])
         x = SparseConv(self.in_channels, self.init_dim,
-                       P["nbr_stem"].shape[1], compute_dtype=dt,
-                       name="conv0p1s1")(feats, P["nbr_stem"])
+                       stem_nbr.shape[1], compute_dtype=dt,
+                       name="conv0p1s1")(feats, stem_nbr)
         x = MaskedBatchNorm(self.init_dim, axis_name=self.bn_axis,
                             name="bn0")(x, nv[0], train, mom)
         out_p1 = nn.relu(x)
@@ -80,7 +90,8 @@ class MinkUNetBase(nn.Module):
         for i in range(4):
             x_in = x
             x = SparseConv(ch, ch, 8, compute_dtype=dt,
-                           name=f"conv{i + 1}p{1 << i}s2")(x_in, P["nbr_down"][i])
+                           name=f"conv{i + 1}p{1 << i}s2")(
+                x_in, dp.get(("down", i), P["nbr_down"][i]))
             if self.return_endpoints and i == 3:
                 # stride-16 encoder conv output, pre-BN — the FIRST of 34CF's
                 # five endpoints (reference utils/minkunet.py:273-274)
@@ -88,8 +99,10 @@ class MinkUNetBase(nn.Module):
             x = MaskedBatchNorm(ch, axis_name=self.bn_axis,
                                 name=f"bn{i + 1}")(x, nv[i + 1], train, mom)
             x = nn.relu(x)
-            x, ch = self._blocks(f"block{i + 1}", x, ch, pl[i], ly[i],
-                                 P["nbr_conv"][i + 1], nv[i + 1], train, mom)
+            x, ch = self._blocks(
+                f"block{i + 1}", x, ch, pl[i], ly[i],
+                dp.get(("conv", i + 1), P["nbr_conv"][i + 1]), nv[i + 1],
+                train, mom)
             skips.append(x)
         # skips: [b1p2 (L1), b2p4 (L2), b3p8 (L3), block4 out (L4)]
 
@@ -100,7 +113,7 @@ class MinkUNetBase(nn.Module):
             lvl = 3 - d  # output level of this up stage
             x_up = SparseConv(ch, pl[4 + d], 8, compute_dtype=dt,
                               name=f"convtr{4 + d}p{1 << (lvl + 1)}s2")(
-                x, P["nbr_up"][lvl])
+                x, dp.get(("up", lvl), P["nbr_up"][lvl]))
             if self.return_endpoints:
                 endpoints.append(x_up)
             x_up = MaskedBatchNorm(pl[4 + d], axis_name=self.bn_axis,
@@ -110,8 +123,10 @@ class MinkUNetBase(nn.Module):
             skip = skips[lvl - 1] if lvl >= 1 else out_p1
             x = jnp.concatenate([x_up, skip], axis=-1)
             ch = pl[4 + d] + skip_chs[lvl]
-            x, ch = self._blocks(f"block{5 + d}", x, ch, pl[4 + d], ly[4 + d],
-                                 P["nbr_conv"][lvl], nv[lvl], train, mom)
+            x, ch = self._blocks(
+                f"block{5 + d}", x, ch, pl[4 + d], ly[4 + d],
+                dp.get(("conv", lvl), P["nbr_conv"][lvl]), nv[lvl], train,
+                mom)
 
         out = SparseConv(ch, self.out_channels, 1, use_bias=True,
                          compute_dtype=dt, name="final")(x, None)

@@ -48,6 +48,15 @@ class SparseConv(nn.Module):
         dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         if self.kernel_volume == 1:
             return sparse_conv1x1(x, w, b, compute_dtype=dt)
+        from canonicalvoting_tpu.ops.scatter_conv import (
+            DensePlan,
+            scatter_dense_conv,
+        )
+
+        if isinstance(nbr, DensePlan):
+            # row-format MXU engine: scatter -> dense conv -> gather
+            # (ops/scatter_conv.py) instead of the K-tap row gathers
+            return scatter_dense_conv(x, w, b, nbr, compute_dtype=dt)
         return sparse_conv_apply(x, nbr, w, b, compute_dtype=dt)
 
 

@@ -105,13 +105,19 @@ def run_joint_training(
     else:
         import functools
 
+        from canonicalvoting_tpu.train.steps import parse_dense_sites
+
         train_model = model
         # the gather backward needs scene microbatching at ScanNet scale
-        # too (19.9 GB at batch 3, RESULTS_r5.md)
+        # too (19.9 GB at batch 3, RESULTS_r5.md); flat_levels feed the
+        # scatter-dense conv engine for the tpu.train_dense_levels sites
         mb = cfg.tpu.train_microbatch
         if mb == 0 and on_tpu:
             mb = 1
-        collate = functools.partial(collate_joint, microbatch=mb)
+        collate = functools.partial(
+            collate_joint, microbatch=mb,
+            with_flat_levels=bool(
+                parse_dense_sites(cfg.tpu.train_dense_levels)))
 
     def make_loader(ds, batch_size, shuffle, drop_last):
         return DataLoader(

@@ -97,14 +97,83 @@ def _strip_meta(batch: Dict) -> Dict:
     return {k: v for k, v in batch.items() if k != "meta"}
 
 
+def parse_dense_sites(spec: str, n_levels: int = 5) -> frozenset:
+    """tpu.train_dense_levels -> the conv sites routed through the
+    scatter-dense engine (ops/scatter_conv.py). "" = none; "all"; or a
+    comma list of "stem", level ints (block convs) and "downI"/"upI"."""
+    if not spec:
+        return frozenset()
+    if spec == "all":
+        return frozenset(
+            {"stem"}
+            | {("conv", lv) for lv in range(n_levels)}
+            | {("down", i) for i in range(n_levels - 1)}
+            | {("up", i) for i in range(n_levels - 1)}
+        )
+    out = set()
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if tok == "stem":
+            out.add("stem")
+        elif tok.startswith("down"):
+            out.add(("down", int(tok[4:])))
+        elif tok.startswith("up"):
+            out.add(("up", int(tok[2:])))
+        else:
+            out.add(("conv", int(tok)))
+    return frozenset(out)
+
+
+def build_dense_plans(flat_levels, grid_dims, n_scenes: int, sites,
+                      stem_kernel: int = 5) -> Dict:
+    """DensePlans for the requested sites from the batch's per-level flat
+    ids (collate with_flat_levels=True) + static L0 dims."""
+    from canonicalvoting_tpu.ops.scatter_conv import DensePlan
+
+    B = n_scenes
+    nlev = len(flat_levels)
+    gs = [
+        (B,) + tuple(int(d) >> lv for d in grid_dims) for lv in range(nlev)
+    ]
+    plans = {}
+    if "stem" in sites:
+        plans["stem"] = DensePlan(flat_levels[0], flat_levels[0],
+                                  kind="sub", k=stem_kernel,
+                                  grid_shape=gs[0])
+    for lv in range(nlev):
+        if ("conv", lv) in sites:
+            plans[("conv", lv)] = DensePlan(
+                flat_levels[lv], flat_levels[lv], kind="sub", k=3,
+                grid_shape=gs[lv])
+    for i in range(nlev - 1):
+        if ("down", i) in sites:
+            plans[("down", i)] = DensePlan(
+                flat_levels[i], flat_levels[i + 1], kind="down", k=2,
+                grid_shape=gs[i])
+        if ("up", i) in sites:
+            plans[("up", i)] = DensePlan(
+                flat_levels[i + 1], flat_levels[i], kind="up", k=2,
+                grid_shape=gs[i + 1])
+    return plans
+
+
 def make_joint_train_step(model, optimizer, cfg,
                           backbone: str = "gather") -> Callable:
     """backbone="gather": ``model`` is a MinkUNetBase fed the coordinate
     pyramid (collate_joint batches). backbone="dense": ``model`` is a
     DenseMinkUNet fed flat cell ids (collate_joint_dense batches) — the
     masked-dense path trains on the MXU with the identical parameter tree,
-    so checkpoints interchange between the two."""
+    so checkpoints interchange between the two.
+
+    On the gather backbone, batches carrying per-level flat ids
+    (collate_joint with_flat_levels=True) route the tpu.train_dense_levels
+    conv sites through the scatter-dense MXU engine (ops/scatter_conv.py)
+    — identical outputs, ~none of the K-tap row-gather cost."""
     xyz_weights = tuple(cfg.xyz_weights)
+    dense_sites = parse_dense_sites(
+        getattr(cfg.tpu, "train_dense_levels", ""))
 
     def _apply_and_losses(params, batch_stats, batch, bn_momentum,
                           grid_dims=None, n_scenes=1):
@@ -117,9 +186,15 @@ def make_joint_train_step(model, optimizer, cfg,
             )
             nvalid = batch["nvalid"]
         else:
+            plans = None
+            if (dense_sites and grid_dims is not None
+                    and "flat_levels" in batch):
+                plans = build_dense_plans(
+                    batch["flat_levels"], grid_dims, n_scenes, dense_sites,
+                    stem_kernel=model.stem_kernel)
             out, updates = model.apply(
                 variables, batch["feats"], batch["pyramid"], True,
-                bn_momentum, mutable=["batch_stats"],
+                bn_momentum, dense_plans=plans, mutable=["batch_stats"],
             )
             nvalid = batch["pyramid"]["nvalid"][0]
         losses = joint_losses(
@@ -139,11 +214,13 @@ def make_joint_train_step(model, optimizer, cfg,
             step=state.step + 1,
         ), losses
 
-    @jax.jit
-    def _step(state: TrainState, batch: Dict, lr, bn_momentum):
+    @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
+    def _step(state: TrainState, batch: Dict, lr, bn_momentum,
+              grid_dims=None, n_scenes=1):
         def loss_fn(params):
             losses, new_stats = _apply_and_losses(
-                params, state.batch_stats, batch, bn_momentum)
+                params, state.batch_stats, batch, bn_momentum,
+                grid_dims, n_scenes)
             return losses["loss"], (losses, new_stats)
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(
@@ -190,17 +267,17 @@ def make_joint_train_step(model, optimizer, cfg,
         return _update(state, losses, new_stats, grads, lr)
 
     def step(state, batch, lr, bn_momentum):
+        meta = batch.get("meta", {})
+        static = {}
+        if backbone == "dense" or (dense_sites and "grid_dims" in meta):
+            static = dict(grid_dims=tuple(meta["grid_dims"]),
+                          n_scenes=meta["n_scenes"])
         if "microbatches" in batch:
             # gradient accumulation (dense OR gather backbone): one grad
             # pass per microbatch (BN stats thread sequentially —
             # per-microbatch statistics, a documented deviation from
             # whole-batch BN), grads averaged, ONE optimizer update per
             # global batch
-            meta = batch["meta"]
-            static = {}
-            if backbone == "dense":
-                static = dict(grid_dims=tuple(meta["grid_dims"]),
-                              n_scenes=meta["n_scenes"])
             stats = state.batch_stats
             grads_list, losses_list = [], []
             for mb in batch["microbatches"]:
@@ -211,10 +288,9 @@ def make_joint_train_step(model, optimizer, cfg,
                 losses_list.append(losses)
             return _accum_apply(state, grads_list, losses_list, stats, lr)
         if backbone == "dense":
-            meta = batch["meta"]
             return _step_dense(state, _strip_meta(batch), lr, bn_momentum,
-                               tuple(meta["grid_dims"]), meta["n_scenes"])
-        return _step(state, _strip_meta(batch), lr, bn_momentum)
+                               static["grid_dims"], static["n_scenes"])
+        return _step(state, _strip_meta(batch), lr, bn_momentum, **static)
 
     return step
 

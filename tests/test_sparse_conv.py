@@ -230,3 +230,65 @@ def test_native_matches_numpy_coordinate_manager(rng):
     )
     down_nat = downsample_coords(coords, 2)
     assert set(map(tuple, down_nat.tolist())) == set(map(tuple, down_ref.tolist()))
+
+
+def test_scatter_dense_engine_matches_gather(rng):
+    """dense_plans (scatter -> lax.conv -> gather, ops/scatter_conv.py)
+    reproduce the gather-form forward for every site type (stem k=5, sub
+    k=3, strided down, transposed up) — same params, same pyramid."""
+    import jax
+
+    from canonicalvoting_tpu.data.collate import collate_joint
+    from canonicalvoting_tpu.data.synthetic import make_scene
+    from canonicalvoting_tpu.models.minkunet import MinkUNetBase
+    from canonicalvoting_tpu.ops.voxelize import sparse_quantize
+    from canonicalvoting_tpu.train.steps import (
+        build_dense_plans,
+        init_variables,
+        parse_dense_sites,
+    )
+
+    items = []
+    for i in range(2):
+        sc = make_scene(rng, extent=(0.8, 0.7, 0.8), n_background=400,
+                        n_boxes=1, pts_per_box=150)
+        coords, idx = sparse_quantize(sc.points, 0.03)
+        items.append((f"s{i}", coords, sc.rgb[idx], sc.xyz_labels[idx],
+                      sc.scale_labels[idx], sc.class_labels[idx]))
+    batch = collate_joint(items, cap_multiple=256, with_flat_levels=True)
+    model = MinkUNetBase(
+        in_channels=3, out_channels=8, block="basic", layers=(1,) * 8,
+        planes=(8, 16, 16, 16, 16, 16, 8, 8), init_dim=8,
+        compute_dtype="float32",
+    )
+    variables = init_variables(model, batch["feats"], batch["pyramid"],
+                               train=False)
+    ref = np.asarray(model.apply(variables, batch["feats"],
+                                 batch["pyramid"], False))
+
+    meta = batch["meta"]
+    plans = build_dense_plans(
+        batch["flat_levels"], meta["grid_dims"], meta["n_scenes"],
+        parse_dense_sites("all"), stem_kernel=5)
+    got = np.asarray(model.apply(variables, batch["feats"],
+                                 batch["pyramid"], False,
+                                 dense_plans=plans))
+    nv = int(batch["pyramid"]["nvalid"][0])
+    np.testing.assert_allclose(got[:nv], ref[:nv], atol=2e-4, rtol=1e-3)
+
+    # train-mode grads agree too (the engine's purpose is the train step)
+    def loss(v, plans):
+        out, _ = model.apply(v, batch["feats"], batch["pyramid"], True,
+                             0.5, dense_plans=plans,
+                             mutable=["batch_stats"])
+        return jnp.sum(out[:nv].astype(jnp.float32) ** 2) / nv
+
+    g_ref = jax.grad(lambda v: loss(v, None))(variables["params"]
+                                              if False else variables)
+    g_got = jax.grad(lambda v: loss(v, plans))(variables)
+    fr = jax.tree_util.tree_flatten_with_path(g_ref["params"])[0]
+    fg = dict(jax.tree_util.tree_flatten_with_path(g_got["params"])[0])
+    for k, vr in fr:
+        np.testing.assert_allclose(
+            np.asarray(vr), np.asarray(fg[k]), atol=5e-3, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(k))
