@@ -85,6 +85,75 @@ def gather_rows(grid: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((flat >= 0)[:, None], rows, 0)
 
 
+def _stem_fold_conv(rows, w, bias, plan, dt):
+    """k=5 cin=3 stem without the channels-last lane trap.
+
+    A (B, X, Y, Z, 3) grid physically lane-pads 3 -> 128 (42x bytes), and
+    the 125-tap row-gather form pays 125 x N row gathers (~320 ms/scene).
+    Instead (the eval path's prefold, models/dense_unet.py, adapted to
+    rows): scatter each channel as a SCALAR (Z-minor) grid, fold the 25
+    (dy, dz) taps x 3 channels into 75 lanes via shifted slices (x stays
+    padded), then the conv is 5 dx-shifted row gathers + one matmul. The
+    fold is checkpointed — the backward recomputes it from the rows.
+    """
+    cin = w.shape[1]
+    k = plan.k
+    h = k // 2
+    B, X, Y, Z = plan.grid_shape
+    cout = w.shape[2]
+    lanes = -(-(k * k * cin) // 128) * 128
+
+    def fold(r):
+        blocks = []
+        for c in range(cin):
+            g = scatter_to_grid(r[:, c:c + 1].astype(dt), plan.flat_in,
+                                plan.grid_shape)[..., 0]
+            g = jnp.pad(g, ((0, 0), (h, h), (h, h), (h, h)))
+            for dz in range(k):
+                for dy in range(k):
+                    blocks.append(g[:, :, dy:dy + Y, dz:dz + Z])
+        stacked = jnp.stack(blocks, 0)  # (cin*k*k, B, X+2h, Y, Z)
+        # layout break (see models.dense_unet.fold_dydz): stops XLA from
+        # propagating the transpose's lane-major layout back into the
+        # per-block slices (each would lane-pad 128x physically)
+        stacked = jax.lax.optimization_barrier(stacked)
+        xf = jnp.transpose(stacked, (1, 2, 3, 4, 0))
+        return jnp.pad(
+            xf, ((0, 0),) * 4 + ((0, lanes - k * k * cin),))
+
+    xf = jax.checkpoint(fold)(rows)
+    n_cells = X * Y * Z  # per-scene block size of the stacked id space
+    xf_flat = xf.reshape(-1, lanes)  # (B * (X+2h) * Y * Z, lanes)
+
+    flat = plan.flat_out
+    ok = flat >= 0
+    safe = jnp.where(ok, flat, 0)
+    b = safe // n_cells
+    r = safe % n_cells
+    x_ = r // (Y * Z)
+    yz = r % (Y * Z)
+
+    # weight rows per dx in the fold's (c, dz, dy) lane order
+    w5 = w.reshape(k, k, k, cin, cout)            # (iz, iy, ix, c, co)
+    wdx = jnp.transpose(w5, (2, 3, 0, 1, 4)).reshape(k, k * k * cin, cout)
+    wdx = jnp.pad(wdx, ((0, 0), (0, lanes - k * k * cin), (0, 0))).astype(dt)
+
+    out = None
+    for dx in range(k):
+        ids = (b * ((X + 2 * h) * Y * Z)
+               + (x_ + dx) * (Y * Z) + yz)
+        g = xf_flat[ids]                           # (N, lanes)
+        part = jax.lax.dot_general(
+            g, wdx[dx], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = part if out is None else out + part
+    out = jnp.where(ok[:, None], out, 0.0)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def scatter_dense_conv(
     rows: jnp.ndarray,
     w: jnp.ndarray,
@@ -95,6 +164,8 @@ def scatter_dense_conv(
     """One conv through the dense grid; returns (N_out, Cout) f32 rows."""
     k = plan.k
     dt = compute_dtype
+    if plan.kind == "stem_fold":
+        return _stem_fold_conv(rows, w, bias, plan, dt)
     wk = _to_dense_kernel(w, k).astype(dt)
     dn = ("NDHWC", "DHWIO", "NDHWC")
     pe = dt

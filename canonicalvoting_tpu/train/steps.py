@@ -139,8 +139,12 @@ def build_dense_plans(flat_levels, grid_dims, n_scenes: int, sites,
     ]
     plans = {}
     if "stem" in sites:
+        # stem_fold, not "sub": a channels-last cin=3 grid physically
+        # lane-pads 3 -> 128 and measured SLOWER than the row gathers
+        # (0.268 vs 0.416 steps/s); the scalar-grid fold forms the 25
+        # (dy, dz) taps in lanes instead (RESULTS_r5.md)
         plans["stem"] = DensePlan(flat_levels[0], flat_levels[0],
-                                  kind="sub", k=stem_kernel,
+                                  kind="stem_fold", k=stem_kernel,
                                   grid_shape=gs[0])
     for lv in range(nlev):
         if ("conv", lv) in sites:
