@@ -197,7 +197,8 @@ def bench_train():
         batch = collate_joint(items, cap_multiple=8192, microbatch=1,
                               with_flat_levels=bool(parse_dense_sites(spec)))
         mb0 = batch["microbatches"][0]
-        train_model = model
+        # remat off by default: microbatch 1 fits, and remat costs ~12%
+        train_model = model.clone(remat=cfg.tpu.train_remat)
         state = create_train_state(model, optimizer, mb0["feats"],
                                    mb0["pyramid"])
     step_fn = make_joint_train_step(train_model, optimizer, cfg,

@@ -55,23 +55,28 @@ class TPUConfig:
     max_symmetry: int = 36
     # Compute dtype for the sparse-conv GEMMs ("bfloat16" or "float32").
     conv_dtype: str = "bfloat16"
-    # Training backbone: "dense" (masked dense Conv3D on the MXU — the TPU
-    # default), "gather" (kernel-map gather-GEMM), or "auto" (dense on TPU,
-    # gather elsewhere). Parameter trees are identical either way.
+    # Training backbone: "gather" (kernel-map gather-GEMM + scene
+    # microbatching — the measured winner and the "auto" default; the
+    # dense backward exceeds HBM at ScanNet scale even rematted,
+    # RESULTS_r5.md) or "dense" (masked dense Conv3D, opt-in). Parameter
+    # trees are identical either way.
     train_backbone: str = "auto"
-    # Dense-train memory controls (RESULTS_r5.md): per-block remat
-    # (activations recompute in the backward) and scene-at-a-time gradient
-    # accumulation (0 = whole batch in one step; k = microbatches of k
-    # scenes, grads averaged, one optimizer update per global batch — BN
-    # statistics then run per microbatch). At ScanNet scale the
-    # un-rematted batch-3 backward wants 129.7 GB vs 15.75 GB HBM, so the
-    # TPU defaults are remat + microbatch 1.
-    train_remat: bool = True
+    # Train memory/speed controls (measured A/B in RESULTS_r5.md):
+    # per-block remat (recompute in the backward — a ~12% tax; only
+    # needed when microbatching alone doesn't fit, e.g. the opt-in dense
+    # backbone) and scene-at-a-time gradient accumulation (0 = whole
+    # batch in one step; k = microbatches of k scenes, grads averaged,
+    # one optimizer update per global batch — BN statistics then run per
+    # microbatch). No whole-batch-3 backward fits 15.75 GB HBM at ScanNet
+    # scale (gather 19.9 GB, dense 129.7 GB), so the loops resolve
+    # microbatch "auto" -> 1 on TPU.
+    train_remat: bool = False
     train_microbatch: int = 0  # 0 = off; "auto" in the loop -> 1 on TPU
     # Gather-backbone conv sites routed through the scatter->dense-conv->
-    # gather MXU engine (ops/scatter_conv.py): "" = pure gather, "all", or
-    # a comma list like "stem,0,1,down0,up0" (RESULTS_r5.md A/B).
-    train_dense_levels: str = "all"
+    # gather MXU engine (ops/scatter_conv.py). Measured: "stem" (the
+    # scalar-grid lane fold) wins 0.416 -> 0.436 steps/s; dense L0/L1 sub
+    # convs LOSE 2.6x (full-grid FLOPs at ~1% occupancy) — keep "stem".
+    train_dense_levels: str = "stem"
     # Mesh axis sizes for distributed runs; (1, 1) = single chip.
     mesh_data: int = 1
     mesh_model: int = 1

@@ -263,7 +263,8 @@ def collate_separate(items: Sequence, cap_multiple: int = 4096,
                      max_objects: int = 64, feats_rescale: bool = True,
                      dense: bool = False, capacities=None,
                      microbatch: int = 0, grid_dims=None,
-                     cap=None) -> Dict:
+                     cap=None, with_flat_levels: bool = False,
+                     flat_grid_dims=None) -> Dict:
     """items: (id_scan, coords, feats, base_xyz, scale_labels, obj_labels,
     class_labels, obj_id, sym_codes). Object ids are offset per scene into a
     batch-global id space for the segment-reduced symmetry loss.
@@ -306,6 +307,48 @@ def collate_separate(items: Sequence, cap_multiple: int = 4096,
             "meta": {"ids": ids, "grid_dims": dims,
                      "n_scenes": microbatch},
         }
+    if not dense and microbatch:
+        # gather-backbone gradient accumulation (mirrors collate_joint):
+        # pinned pyramid capacities; flat_levels for the scatter-dense
+        # conv engine when requested, dims pinned across microbatches
+        from canonicalvoting_tpu.data.dense_prep import dense_grid_geometry
+
+        assert len(items) % microbatch == 0, (
+            "batch size must divide by the microbatch size "
+            f"({len(items)} % {microbatch})")
+        groups = [list(items[i:i + microbatch])
+                  for i in range(0, len(items), microbatch)]
+        pyrs = [
+            build_pyramid(
+                batched_coordinates([it[1] for it in g]),
+                PyramidSpec(cap_multiple=cap_multiple),
+            )
+            for g in groups
+        ]
+        nlev = len(pyrs[0].coords)
+        caps = tuple(
+            max(p.coords[lvl].shape[0] for p in pyrs)
+            for lvl in range(nlev)
+        )
+        dims0 = None
+        if with_flat_levels:
+            dims0 = tuple(
+                int(max(dense_grid_geometry(it[1])[1][a] for it in items))
+                for a in range(3)
+            )
+        mbs = [
+            collate_separate(g, max_objects=max_objects,
+                             feats_rescale=feats_rescale,
+                             capacities=caps,
+                             with_flat_levels=with_flat_levels,
+                             flat_grid_dims=dims0)
+            for g in groups
+        ]
+        meta = {"ids": ids}
+        if with_flat_levels:
+            meta["grid_dims"] = dims0
+            meta["n_scenes"] = microbatch
+        return {"microbatches": mbs, "meta": meta}
     if dense:
         from canonicalvoting_tpu.data.dense_prep import dense_flat_ids_batched
 
@@ -361,6 +404,20 @@ def collate_separate(items: Sequence, cap_multiple: int = 4096,
             "meta": {"ids": ids, "coords": pyr.coords[0]},
             "pyramid": pyr.as_jax_inputs(),
         }
+        if with_flat_levels:
+            from canonicalvoting_tpu.data.dense_prep import (
+                dense_grid_geometry,
+                pyramid_level_flat_ids,
+            )
+
+            geo = [dense_grid_geometry(c) for c in coords]
+            dims0 = flat_grid_dims or tuple(
+                int(max(g[1][a] for g in geo)) for a in range(3))
+            flats, _dims = pyramid_level_flat_ids(
+                pyr.coords, np.stack([g[0] for g in geo]), dims0)
+            backbone_fields["flat_levels"] = tuple(flats)
+            backbone_fields["meta"]["grid_dims"] = dims0
+            backbone_fields["meta"]["n_scenes"] = len(items)
     return {
         **backbone_fields,
         "feats": feats_b,

@@ -40,15 +40,27 @@ class MinkUNetBase(nn.Module):
     compute_dtype: str = "bfloat16"
     return_endpoints: bool = False
     bn_axis: str = ""
+    # rematerialize each residual block in the TRAIN backward: the saved
+    # per-conv (N, K*Cin) gather operands otherwise push the ScanNet-scale
+    # backward past HBM (19.9 GB at batch 3; RESULTS_r5.md)
+    remat: bool = False
 
     def _blocks(self, name, x, in_ch, planes, n_blocks, nbr, nvalid, train, mom):
         blk = BLOCKS[self.block]
         exp = blk.expansion
         ch = in_ch
+        use_remat = self.remat and train
+
+        def call_rematted(mdl, x, nbr, nvalid, mom):
+            return mdl(x, nbr, nvalid, True, mom)
+
         for j in range(n_blocks):
-            x = blk(ch, planes, compute_dtype=self.compute_dtype,
-                    bn_axis=self.bn_axis,
-                    name=f"{name}_{j}")(x, nbr, nvalid, train, mom)
+            mdl = blk(ch, planes, compute_dtype=self.compute_dtype,
+                      bn_axis=self.bn_axis, name=f"{name}_{j}")
+            if use_remat:
+                x = nn.remat(call_rematted)(mdl, x, nbr, nvalid, mom)
+            else:
+                x = mdl(x, nbr, nvalid, train, mom)
             ch = planes * exp
         return x, ch
 

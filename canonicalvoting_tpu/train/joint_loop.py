@@ -82,7 +82,7 @@ def run_joint_training(
     backbone = cfg.tpu.train_backbone
     on_tpu = jax.default_backend() == "tpu"
     if backbone == "auto":
-        backbone = "dense" if on_tpu else "gather"
+        backbone = "gather"  # measured winner (RESULTS_r5.md)
     if backbone == "dense":
         import functools
 
@@ -107,7 +107,8 @@ def run_joint_training(
 
         from canonicalvoting_tpu.train.steps import parse_dense_sites
 
-        train_model = model
+        # block remat under train (memory; numerics-preserving)
+        train_model = model.clone(remat=cfg.tpu.train_remat)
         # the gather backward needs scene microbatching at ScanNet scale
         # too (19.9 GB at batch 3, RESULTS_r5.md); flat_levels feed the
         # scatter-dense conv engine for the tpu.train_dense_levels sites

@@ -87,7 +87,7 @@ def run_separate_training(
     backbone = cfg.tpu.train_backbone
     on_tpu = jax.default_backend() == "tpu"
     if backbone == "auto":
-        backbone = "dense" if on_tpu else "gather"
+        backbone = "gather"  # measured winner (RESULTS_r5.md)
     mb = 0
     if backbone == "dense":
         from canonicalvoting_tpu.models.dense_unet import DenseMinkUNet
@@ -106,13 +106,24 @@ def run_separate_training(
         if mb == 0 and on_tpu:
             mb = 1
     else:
-        train_model = model
+        # block remat under train (memory; numerics-preserving)
+        train_model = model.clone(remat=cfg.tpu.train_remat)
+        # gather path: scene microbatching + the scatter-dense conv
+        # engine for the tpu.train_dense_levels sites (as the joint loop)
+        mb = cfg.tpu.train_microbatch
+        if mb == 0 and on_tpu:
+            mb = 1
 
+    from canonicalvoting_tpu.train.steps import parse_dense_sites
+
+    with_fl = (backbone != "dense"
+               and bool(parse_dense_sites(cfg.tpu.train_dense_levels)))
     loader = DataLoader(
         train_dataset, batch_size=cfg.batch_size,
         collate_fn=lambda it: collate_separate(
             it, cap_multiple=cap_multiple, max_objects=max_objects,
             dense=(backbone == "dense"), microbatch=mb,
+            with_flat_levels=with_fl,
         ),
         shuffle=True, num_workers=cfg.num_workers, drop_last=True,
     )
@@ -120,8 +131,9 @@ def run_separate_training(
     if backbone == "dense":
         state = create_train_state_dense(train_model, optimizer, first)
     else:
-        state = create_train_state(model, optimizer, first["feats"],
-                                   first["pyramid"])
+        f0 = first["microbatches"][0] if "microbatches" in first else first
+        state = create_train_state(model, optimizer, f0["feats"],
+                                   f0["pyramid"])
     step_fn = make_separate_train_step(train_model, optimizer, cfg,
                                        max_objects, backbone=backbone)
 

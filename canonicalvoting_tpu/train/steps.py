@@ -305,8 +305,12 @@ def make_separate_train_step(model, optimizer, cfg, max_objects: int,
     pyramid. backbone="dense": ``model`` is a DenseMinkUNet fed flat cell
     ids (collate_separate(dense=True) batches) — as with the joint step,
     the dense twin trains on the MXU with the identical parameter tree
-    (reference trainer: /root/reference/train_separate.py:184-298)."""
+    (reference trainer: /root/reference/train_separate.py:184-298).
+    Gather batches with flat_levels route tpu.train_dense_levels sites
+    through the scatter-dense engine, as the joint step does."""
     xyz_weights = tuple(cfg.xyz_weights)
+    dense_sites = parse_dense_sites(
+        getattr(cfg.tpu, "train_dense_levels", ""))
 
     def _losses(batch, out, nvalid):
         return separate_losses(
@@ -327,14 +331,26 @@ def make_separate_train_step(model, optimizer, cfg, max_objects: int,
             step=state.step + 1,
         ), losses
 
-    @jax.jit
-    def _step(state: TrainState, batch: Dict, lr, bn_momentum):
+    def _apply_gather(params, batch_stats, batch, bn_momentum,
+                      grid_dims=None, n_scenes=1):
+        plans = None
+        if dense_sites and grid_dims is not None \
+                and "flat_levels" in batch:
+            plans = build_dense_plans(
+                batch["flat_levels"], grid_dims, n_scenes, dense_sites,
+                stem_kernel=model.stem_kernel)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["feats"], batch["pyramid"], True, bn_momentum,
+            dense_plans=plans, mutable=["batch_stats"],
+        )
+
+    @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
+    def _step(state: TrainState, batch: Dict, lr, bn_momentum,
+              grid_dims=None, n_scenes=1):
         def loss_fn(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["feats"], batch["pyramid"], True, bn_momentum,
-                mutable=["batch_stats"],
-            )
+            out, updates = _apply_gather(params, state.batch_stats, batch,
+                                         bn_momentum, grid_dims, n_scenes)
             losses = _losses(batch, out, batch["pyramid"]["nvalid"][0])
             return losses["loss"], (losses, updates["batch_stats"])
 
@@ -342,6 +358,20 @@ def make_separate_train_step(model, optimizer, cfg, max_objects: int,
             loss_fn, has_aux=True
         )(state.params)
         return _update(state, losses, new_stats, grads, lr)
+
+    @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
+    def _grads_gather(params, batch_stats, batch, bn_momentum,
+                      grid_dims=None, n_scenes=1):
+        def loss_fn(params):
+            out, updates = _apply_gather(params, batch_stats, batch,
+                                         bn_momentum, grid_dims, n_scenes)
+            losses = _losses(batch, out, batch["pyramid"]["nvalid"][0])
+            return losses["loss"], (losses, updates["batch_stats"])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return losses, new_stats, grads
 
     @functools.partial(jax.jit, static_argnames=("grid_dims", "n_scenes"))
     def _step_dense(state: TrainState, batch: Dict, lr, bn_momentum,
@@ -390,23 +420,26 @@ def make_separate_train_step(model, optimizer, cfg, max_objects: int,
         return _update(state, losses, new_stats, grads, lr)
 
     def step(state, batch, lr, bn_momentum):
-        if backbone == "dense" and "microbatches" in batch:
-            # gradient accumulation, as in the joint dense step
-            meta = batch["meta"]
-            gd, nsc = tuple(meta["grid_dims"]), meta["n_scenes"]
+        meta = batch.get("meta", {})
+        static = {}
+        if backbone == "dense" or (dense_sites and "grid_dims" in meta):
+            static = dict(grid_dims=tuple(meta["grid_dims"]),
+                          n_scenes=meta["n_scenes"])
+        if "microbatches" in batch:
+            # gradient accumulation, as in the joint step
+            grads_fn = _grads_dense if backbone == "dense" else _grads_gather
             stats = state.batch_stats
             grads_list, losses_list = [], []
             for mb in batch["microbatches"]:
-                losses, stats, grads = _grads_dense(
+                losses, stats, grads = grads_fn(
                     state.params, stats, _strip_meta(mb), bn_momentum,
-                    gd, nsc)
+                    **static)
                 grads_list.append(grads)
                 losses_list.append(losses)
             return _accum_apply(state, grads_list, losses_list, stats, lr)
         if backbone == "dense":
-            meta = batch["meta"]
             return _step_dense(state, _strip_meta(batch), lr, bn_momentum,
-                               tuple(meta["grid_dims"]), meta["n_scenes"])
-        return _step(state, _strip_meta(batch), lr, bn_momentum)
+                               static["grid_dims"], static["n_scenes"])
+        return _step(state, _strip_meta(batch), lr, bn_momentum, **static)
 
     return step
