@@ -1264,7 +1264,8 @@ def _down2_kernel(txs_ref, tys_ref, tzs_ref, *args,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_shape", "group", "relu_out", "interpret"),
+    static_argnames=("tile_shape", "group", "relu_out", "interpret",
+                     "pair_dma"),
 )
 def tiled_down2(
     x: jnp.ndarray,
@@ -1278,6 +1279,7 @@ def tiled_down2(
     tile_shape: Tuple[int, int, int] = (8, 8, 8),
     group: int = 8,
     interpret: bool = False,
+    pair_dma: str = "auto",
 ) -> jnp.ndarray:
     """Stride-2 k=2 conv over occupied COARSE tiles with fused epilogue.
 
@@ -1312,10 +1314,17 @@ def tiled_down2(
     wf = wf.reshape(8 * cin_p, cout_p).astype(x.dtype)[None]
     # TPU: the kernel folds z-pairs in the DMA engine (per-parity copies
     # through a reshaped ref view) — the full-grid XLA z-pair relayout
-    # this reshape costs (~7 ms at L0) only remains on the interpret path,
-    # where reshaped-ref DMAs are unsupported
-    pair_dma = not interpret
-    if not pair_dma:
+    # this reshape costs (~7 ms at L0) then only remains on the interpret
+    # path. CAVEAT (measured, RESULTS_r5.md): the reshaped-ref DMA is
+    # WRONG on real hardware when the grid has more than one 128-lane
+    # page (cin_p > 128, e.g. the 256-channel L3->L4 down) — those
+    # configs materialize the z-pair view instead (grids at those levels
+    # are small, so the relayout is cheap).
+    if pair_dma == "auto":
+        use_pair = (not interpret) and cin_p <= 128
+    else:
+        use_pair = bool(pair_dma) and not interpret
+    if not use_pair:
         x = x.reshape(Xm, Ym, Zm // 2, 2 * cp)  # z-pair view
     out0 = jnp.zeros((X + 2 * MX, Y + 2 * MY, Z + 2 * MZ, cout_p), x.dtype)
 
@@ -1360,7 +1369,7 @@ def tiled_down2(
         _down2_kernel, TX=TX, TY=TY, TZ=TZ, cin_p=cin_p, cout=cout_p,
         n_steps=n_steps, G=G, NTY=NTY, NTZ=NTZ, out_dtype=x.dtype,
         has_affine=has_affine, has_occ=has_occ, relu_out=relu_out,
-        pair_dma=pair_dma,
+        pair_dma=use_pair,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1595,7 +1604,7 @@ def pack_occ_parity(occ_grid, tiles, tile_shape, xp=jnp):
 @functools.partial(
     jax.jit,
     static_argnames=("tile_shape", "group", "skip_c", "relu_out",
-                     "interpret"),
+                     "interpret", "pair_dma"),
 )
 def tiled_up2(
     x: jnp.ndarray,
@@ -1612,6 +1621,7 @@ def tiled_up2(
     group: int = 2,
     out: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    pair_dma: str = "auto",
 ) -> jnp.ndarray:
     """Transposed stride-2 k=2 conv over occupied FINE tiles, with fused
     epilogue and OPTIONAL fused skip concatenation.
@@ -1659,7 +1669,15 @@ def tiled_up2(
     # the interpret path. `out` optionally donates a DEAD same-shape grid
     # (zero outside this tile list's coverage) to skip the full-grid
     # zero fill, as tiled_conv3d does.
-    pair_dma = not interpret
+    # CAVEAT (measured, RESULTS_r5.md): with a multi-128-lane-page coarse
+    # input (cin_p > 128, the 256-channel decoder ups into L2/L3) the
+    # real-hardware kernel returns wrong values; those configs take the
+    # materialized-view path (cheap at the small deep-level grids).
+    if pair_dma == "auto":
+        use_pair = (not interpret) and cin_p <= 128
+    else:
+        use_pair = bool(pair_dma) and not interpret
+    pair_dma = use_pair
     if out is not None and out.shape == (Xf, Yf, Zf, out_lanes) \
             and out.dtype == x.dtype and pair_dma:
         out0 = out
