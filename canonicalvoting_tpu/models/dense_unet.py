@@ -47,6 +47,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 from canonicalvoting_tpu.models.norm import MaskedBatchNorm
 from canonicalvoting_tpu.models.resnet import BLOCKS, kernel_init
 from canonicalvoting_tpu.ops.pallas.tiled_conv import MX, MY, MZ, _lanes
@@ -236,6 +238,8 @@ class DenseConv(nn.Module):
             # Shape/dtype mismatches fall back to fresh zeros.
             outbuf = None
             res_ip = False
+            if _os.environ.get("CV_NO_DONATE"):
+                donate = None
             if donate is not None:
                 cand = donate[0] if donate.ndim == 5 else donate
                 if (cand.shape == xin.shape[:3]
@@ -860,6 +864,10 @@ class DenseMinkUNet(nn.Module):
         # stem_impl "tiled": the k=5 cin=3 conv through the Pallas kernel's
         # compact fold (the 125 taps fit one 128-lane operand at the real
         # channel stride), on the coarser STEM_TILE_PLAN tiles
+        no_donate = bool(_os.environ.get("CV_NO_DONATE"))
+        if no_donate:
+            scat_donor = None
+            donors = None
         if stem_tiled:
             a0, b0 = bn0(None, None, False, return_affine=True)
             stem_in = x
@@ -979,7 +987,7 @@ class DenseMinkUNet(nn.Module):
                 a, b = bn(None, None, False, return_affine=True)
                 ts, g = tsg[up_key]
                 up_out = None
-                if lvl == 0 and not interp:
+                if lvl == 0 and not interp and not no_donate:
                     if donors is not None:
                         up_out = donors[1][0]
                     elif scat_donor is not None:
@@ -994,7 +1002,7 @@ class DenseMinkUNet(nn.Module):
                     group=g, out=up_out, interpret=interp)[None]
                 # the skip grid dies with the up's fused concat read —
                 # seed the level's first block conv with it (donated out)
-                donate_first = skip
+                donate_first = None if no_donate else skip
             else:
                 x = up(x)
                 x = x * occ[lvl][..., None].astype(x.dtype)
